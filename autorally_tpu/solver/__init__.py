@@ -1,0 +1,6 @@
+"""MPPI and DDP solvers."""
+
+from autorally_tpu.solver.mppi import MPPISolver, SolveStats
+from autorally_tpu.solver.ddp import DDPSolver
+
+__all__ = ["MPPISolver", "SolveStats", "DDPSolver"]

