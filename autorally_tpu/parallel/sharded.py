@@ -1,0 +1,120 @@
+"""Multi-chip MPPI: rollouts sharded over a device mesh with ``shard_map``.
+
+The scalable axis of MPPI is K (samples) — embarrassingly parallel except
+for three reductions per iteration (SURVEY.md §2.4, §5).  Each chip:
+
+1. derives its own noise stream by folding the shard index into the PRNG
+   key (per-shard cuRAND-equivalent, replacing ``mppi_controller.cu:612``),
+2. runs the rollout scan on its K/N shard (the same code as the
+   single-chip solver, with a global ``k_offset`` so rollout 0 / the pure-
+   noise band follow the global numbering),
+3. joins the cross-chip reductions: ``pmin`` for the cost baseline,
+   ``psum`` for the softmax normalizer and the (T, C) weighted-control
+   numerator — two scalars and one tiny tensor over ICI per iteration.
+
+Everything else (Savitzky-Golay, slide, nominal trajectory) is replicated
+host-side-free math on each chip.  The reference caps K at 1920-2560 on one
+GPU (``path_integral_main.cu:66-74``); this layer takes K to 100K+ by
+adding chips with near-linear scaling (the collectives are O(T*C)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from autorally_tpu.config import CostParams, MPPIConfig
+from autorally_tpu.costs.costmap import Costmap
+from autorally_tpu.costs.mppi_cost import MPPICost
+from autorally_tpu.models.base import Dynamics
+from autorally_tpu.parallel.mesh import ROLLOUT_AXIS, rollout_mesh
+from autorally_tpu.solver.mppi import (ControllerState, MPPISolver,
+                                       SolveStats, savitzky_golay)
+
+
+class ShardedMPPISolver(MPPISolver):
+    """MPPI with rollouts sharded across a 1-D mesh axis.
+
+    Drop-in replacement for :class:`MPPISolver`: same ``solve``/``slide``
+    API, same semantics (verified against the single-chip solver by the
+    sharding tests), K/N rollouts per chip.
+    """
+
+    def __init__(self, model: Dynamics, cost: MPPICost, cfg: MPPIConfig,
+                 mesh: Optional[Mesh] = None, axis_name: str = ROLLOUT_AXIS):
+        self.mesh = rollout_mesh() if mesh is None else mesh
+        self.axis_name = axis_name
+        self.n_shards = self.mesh.shape[axis_name]
+        if cfg.num_rollouts % self.n_shards:
+            raise ValueError(
+                f"num_rollouts {cfg.num_rollouts} not divisible by "
+                f"{self.n_shards} shards")
+        super().__init__(model, cost, cfg)
+
+    # The sharded iteration: replicated inputs, replicated outputs; the K
+    # axis exists only *inside* the shard_map body (each chip materializes
+    # just its own noise and rollout buffers — at K=262144, N=32 that is
+    # 8K rollouts of state per chip instead of 262K).
+    def _sharded_iterate(self, model_params, cost_params, costmap, state, U,
+                         key) -> Tuple[jnp.ndarray, SolveStats]:
+        cfg = self.cfg
+        T, C = cfg.num_timesteps, self.model.CONTROL_DIM
+        K_local = cfg.num_rollouts // self.n_shards
+        axis = self.axis_name
+
+        def body(model_params, cost_params, costmap, state, U, key):
+            idx = lax.axis_index(axis)
+            shard_key = jax.random.fold_in(key, idx)
+            eps = jax.random.normal(shard_key, (T, K_local, C),
+                                    dtype=jnp.float32)
+            total, u_seq, crash = self.rollout_costs(
+                model_params, cost_params, costmap, state, U, eps,
+                k_offset=idx * K_local)
+
+            # Cross-chip reductions (the only communication).
+            baseline = lax.pmin(jnp.min(total), axis)
+            w = jnp.exp(-cfg.gamma * (total - baseline))
+            eta = lax.psum(jnp.sum(w), axis)
+            sum_w2 = lax.psum(jnp.sum(w * w), axis)
+            numer = lax.psum(jnp.einsum("k,tkc->tc", w, u_seq), axis)
+            U_new = numer / eta
+
+            stats = SolveStats(
+                baseline=baseline,
+                normalizer=eta,
+                trajectory_cost=sum_w2 / eta,
+                ess=(eta * eta) / sum_w2,
+                mean_cost=lax.psum(jnp.sum(total), axis) / cfg.num_rollouts,
+                crash_frac=lax.psum(jnp.sum(crash.astype(jnp.float32)), axis)
+                / cfg.num_rollouts,
+            )
+            return U_new, stats
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), SolveStats(*([P()] * 6))),
+            check_vma=False,
+        )
+        return fn(model_params, cost_params, costmap, state, U, key)
+
+    def _solve(self, model_params, cost_params: CostParams, costmap: Costmap,
+               state: jnp.ndarray, cs: ControllerState
+               ) -> Tuple[ControllerState, SolveStats]:
+        cfg = self.cfg
+        U, key, stats = cs.U, cs.key, None
+        for _ in range(cfg.num_iters):
+            key, sub = jax.random.split(key)
+            U, stats = self._sharded_iterate(
+                model_params, cost_params, costmap, state, U, sub)
+        U = savitzky_golay(U, cs.control_hist)
+        states_sol, controls_sol = self.nominal_trajectory(model_params, state, U)
+        new_cs = cs._replace(U=U, state_solution=states_sol,
+                             control_solution=controls_sol, key=key)
+        return new_cs, stats

@@ -107,25 +107,30 @@ class MPPISolver:
     # one optimization iteration given explicit noise (the testable core)
     # ------------------------------------------------------------------
 
-    def iterate(self, model_params, cost_params: CostParams, costmap: Costmap,
-                state: jnp.ndarray, U: jnp.ndarray, eps: jnp.ndarray
-                ) -> Tuple[jnp.ndarray, SolveStats]:
-        """One MPPI iteration: (state (S,), U (T, C), eps (T, K, C) ~ N(0,1))
-        -> (U_new (T, C), stats).
+    def rollout_costs(self, model_params, cost_params: CostParams,
+                      costmap: Costmap, state: jnp.ndarray, U: jnp.ndarray,
+                      eps: jnp.ndarray, k_offset=0
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """The rollout kernel: simulate one noise-perturbed trajectory per
+        sample and accumulate its running cost (``rolloutKernel``,
+        ``mppi_controller.cu:72-184``).
 
-        Mirrors one pass of the loop at ``mppi_controller.cu:609-667`` with
-        the rollout kernel inlined as a ``lax.scan`` over the horizon whose
-        batch dimension is the K rollouts.
+        ``eps``: (T, K_local, C) standard-normal draws.  ``k_offset`` is the
+        global index of this batch's first rollout, so a sharded caller
+        computes the noise-free-rollout and pure-noise masks against the
+        *global* rollout numbering.  Returns (total_costs (K_local,),
+        u_seq (T, K_local, C) pre-clamp perturbed controls, crash (K_local,)).
         """
         cfg = self.cfg
         model, cost = self.model, self.cost
-        T, K = cfg.num_timesteps, cfg.num_rollouts
+        K_total = cfg.num_rollouts
+        K = eps.shape[1]
         nu = self.nu
         opt_delay = cfg.optimization_stride
 
-        k_idx = lax.broadcasted_iota(jnp.int32, (K, 1), 0).squeeze(-1)
+        k_idx = k_offset + lax.broadcasted_iota(jnp.int32, (K, 1), 0).squeeze(-1)
         zero_rollout = k_idx == 0                              # noise-free
-        pure_noise = k_idx >= cfg.pure_noise_frac * K          # last 1%
+        pure_noise = k_idx >= cfg.pure_noise_frac * K_total    # last 1%
 
         s0 = jnp.broadcast_to(state, (K, model.STATE_DIM)).astype(jnp.float32)
         running0 = jnp.zeros((K,), dtype=jnp.float32)
@@ -133,9 +138,8 @@ class MPPISolver:
 
         def step(carry, inp):
             s, running, crash = carry
-            t, eps_t = inp
+            t, eps_t, U_t = inp
             du_t = eps_t * nu                                  # (K, C)
-            U_t = U[t]                                         # (C,)
             frozen = zero_rollout | (t < opt_delay)
             u = jnp.where(frozen[:, None], U_t,
                           jnp.where(pure_noise[:, None], du_t, U_t + du_t))
@@ -152,10 +156,25 @@ class MPPISolver:
             crash = cost.get_crash(s, crash)
             return (s, running, crash), u_store
 
-        ts = jnp.arange(T)
+        ts = jnp.arange(cfg.num_timesteps)
         (s_T, running, crash), u_seq = lax.scan(
-            step, (s0, running0, crash0), (ts, eps))
+            step, (s0, running0, crash0), (ts, eps, U))
         total = running + cost.terminal_cost(s_T)              # (K,)
+        return total, u_seq, crash
+
+    def iterate(self, model_params, cost_params: CostParams, costmap: Costmap,
+                state: jnp.ndarray, U: jnp.ndarray, eps: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, SolveStats]:
+        """One MPPI iteration: (state (S,), U (T, C), eps (T, K, C) ~ N(0,1))
+        -> (U_new (T, C), stats).
+
+        Mirrors one pass of the loop at ``mppi_controller.cu:609-667`` with
+        the rollout kernel inlined as a ``lax.scan`` over the horizon whose
+        batch dimension is the K rollouts.
+        """
+        cfg = self.cfg
+        total, u_seq, crash = self.rollout_costs(
+            model_params, cost_params, costmap, state, U, eps)
 
         # On-device reductions (the reference's host syncs #1-#3,
         # mppi_controller.cu:624-652).
