@@ -1,0 +1,120 @@
+"""Stateful controller facade over the jitted solvers.
+
+Mirrors the host-side API of ``MPPIController``
+(``mppi_controller.cuh:52-217``) — the object the control loop drives —
+while keeping all math inside the jitted pure functions.  Hot updates
+(cost params, costmap, model weights, throttle cut) are pytree swaps, never
+recompiles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from autorally_tpu.config import CostParams, MPPIConfig
+from autorally_tpu.costs.costmap import Costmap
+from autorally_tpu.costs.mppi_cost import MPPICost
+from autorally_tpu.models.base import Dynamics
+from autorally_tpu.solver.ddp import DDPResult, DDPSolver
+from autorally_tpu.solver.mppi import ControllerState, MPPISolver, SolveStats
+
+
+class Controller:
+    """One MPPI controller instance (the loop runs two for tube-MPPI)."""
+
+    def __init__(self, solver: MPPISolver, model_params,
+                 cost_params: CostParams, costmap: Costmap,
+                 ddp: Optional[DDPSolver] = None, seed: Optional[int] = None):
+        self.solver = solver
+        self.model = solver.model
+        self.cfg = solver.cfg
+        self.model_params = model_params
+        self.cost_params = cost_params
+        self.costmap = costmap
+        self.ddp = ddp
+        self.cs: ControllerState = solver.init_state(seed)
+        self.stats: Optional[SolveStats] = None
+        self.ddp_result: Optional[DDPResult] = None
+        self._traj_cost = float("inf")
+
+    # -- the loop's verbs (run_control_loop.cuh:206-225) --------------------
+
+    def slide_control_and_state_seq(self, stride: int) -> None:
+        self.cs = self.solver.slide(self.cs, int(stride))
+
+    def compute_control(self, state: np.ndarray) -> None:
+        """Replan from the given (actual) state."""
+        self.cs, self.stats = self.solver.solve(
+            self.model_params, self.cost_params, self.costmap, state, self.cs)
+        self._traj_cost = float(self.stats.trajectory_cost)
+
+    def compute_control_predicted(self) -> None:
+        """Replan from the controller's own predicted state — the first
+        entry of its state solution (``computeControl()``,
+        mppi_controller.cu:588-598)."""
+        self.compute_control(np.asarray(self.cs.state_solution[0]))
+
+    def compute_feedback_gains(self, state: np.ndarray) -> None:
+        """Tube-tracking gains around the current solution
+        (``computeFeedbackGains``, mppi_controller.cu:427-439)."""
+        if self.ddp is None:
+            return
+        rngs = np.asarray(self.model_params["control_rngs"])
+        self.ddp_result = self.ddp.run(
+            self.model_params, state, self.cs.U, self.cs.state_solution,
+            self.cs.control_solution, rngs[:, 0], rngs[:, 1])
+
+    # -- accessors (mppi_controller.cu:677-693) ------------------------------
+
+    def get_control_seq(self) -> np.ndarray:
+        return np.asarray(self.cs.control_solution)
+
+    def get_state_seq(self) -> np.ndarray:
+        return np.asarray(self.cs.state_solution)
+
+    def get_feedback_gains(self) -> Optional[np.ndarray]:
+        if self.ddp_result is None:
+            return None
+        return np.asarray(self.ddp_result.feedback_gain)
+
+    def get_computed_trajectory_cost(self) -> float:
+        return self._traj_cost
+
+    # -- state injection (tube resync, run_control_loop.cuh:263-266) ---------
+
+    def set_state(self, state: np.ndarray) -> None:
+        ss = self.cs.state_solution.at[0].set(jnp.asarray(state))
+        self.cs = self.cs._replace(state_solution=ss)
+
+    def set_state_sequence(self, seq: np.ndarray) -> None:
+        self.cs = self.cs._replace(state_solution=jnp.asarray(seq))
+
+    def set_control_sequence(self, seq: np.ndarray) -> None:
+        self.cs = self.cs._replace(control_solution=jnp.asarray(seq),
+                                   U=jnp.asarray(seq))
+
+    def reset_controls(self) -> None:
+        self.cs = self.solver.reset_controls(self.cs)
+
+    # -- hot updates (run_control_loop.cuh:182-204) ---------------------------
+
+    def update_cost_params(self, cost_params: CostParams) -> None:
+        self.cost_params = cost_params
+
+    def update_costmap(self, costmap: Costmap) -> None:
+        self.costmap = costmap
+
+    def update_model_params(self, model_params) -> None:
+        self.model_params = model_params
+
+    def cut_throttle(self) -> None:
+        """Emergency stop (``cutThrottle``, mppi_controller.cu:459-466):
+        desired speed -> 0 and max throttle -> 0, as parameter updates."""
+        self.cost_params = self.cost_params.replace(desired_speed=0.0)
+        rngs = np.asarray(self.model_params["control_rngs"]).copy()
+        rngs[1, 1] = 0.0
+        self.model_params = {**self.model_params,
+                             "control_rngs": jnp.asarray(rngs)}

@@ -1,0 +1,124 @@
+"""Observability: timing telemetry, watchdog, lap statistics.
+
+Covers the reference's telemetry surface (SURVEY.md §5):
+
+- :class:`TimingStats` — the running averages published as
+  ``pathIntegralTiming`` (run_control_loop.cuh:305-318,
+  autorally_plant.cpp:128-141)
+- :class:`StatusMonitor` — the ``path_integral_monitor`` watchdog
+  (status_monitor.cpp:38-69): error on >0.5 s of status silence
+- :class:`LapStats` — the benchmark evaluator (scripts/lap_stats.py):
+  start-line-crossing lap detection, per-lap lap_time / max_speed /
+  max_slip
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional
+
+
+class TimingStats:
+    """Running averages over loop iterations (run_control_loop.cuh:315-318):
+    avg = (n-1)/n * avg + sample/n."""
+
+    def __init__(self):
+        self.num_iter = 0
+        self.avg_loop_ms = 0.0       # time between pose estimates
+        self.avg_tick_ms = 0.0       # optimization tick time
+        self.avg_sleep_ms = 0.0
+
+    def update(self, loop_ms: float, tick_ms: float, sleep_ms: float) -> None:
+        self.num_iter += 1
+        n = self.num_iter
+        self.avg_loop_ms = (n - 1.0) / n * self.avg_loop_ms + loop_ms / n
+        self.avg_tick_ms = (n - 1.0) / n * self.avg_tick_ms + tick_ms / n
+        self.avg_sleep_ms = (n - 1.0) / n * self.avg_sleep_ms + sleep_ms / n
+
+    def as_dict(self) -> dict:
+        return {
+            "averageTimeBetweenPoses": self.avg_loop_ms,
+            "averageOptimizationCycleTime": self.avg_tick_ms,
+            "averageSleepTime": self.avg_sleep_ms,
+        }
+
+
+class StatusMonitor:
+    """Watchdog: OK while heartbeats arrive, error after ``timeout`` seconds
+    of silence (status_monitor.cpp:55-69, TIMETOUT_DURATION 0.5 s)."""
+
+    TIMEOUT = 0.5
+
+    def __init__(self):
+        self.last_heartbeat: Optional[float] = None
+        self.last_status = 1
+        self.last_message = "no status received"
+
+    def heartbeat(self, t: float, status: int, message: str = "") -> None:
+        self.last_heartbeat = t
+        self.last_status = status
+        self.last_message = message
+
+    def diagnostic(self, now: float) -> dict:
+        """-> {'level': 'ok'|'warn'|'error', 'message': str}."""
+        if self.last_heartbeat is None or now - self.last_heartbeat > self.TIMEOUT:
+            return {"level": "error",
+                    "message": "MPPI not publishing a status"}
+        level = {0: "ok", 1: "warn", 2: "error"}.get(self.last_status, "error")
+        return {"level": level, "message": self.last_message}
+
+
+@dataclasses.dataclass
+class LapRecord:
+    lap_number: int
+    lap_time: float
+    max_speed: float
+    max_slip: float
+
+
+class LapStats:
+    """Lap detection by start-line crossing (lap_stats.py:110-139).
+
+    ``line`` = (slope, intercept, x_min, x_max): a lap boundary is crossed
+    when the sign of ``y > slope*x + intercept`` flips while x is inside
+    [x_min, x_max].
+    """
+
+    def __init__(self, line=(-1.55, 0.29, -1.35, 1.35)):
+        self.line = line
+        self.last_eval: Optional[bool] = None
+        self.start_time: Optional[float] = None
+        self.lap_number = 1
+        self.max_speed = 0.0
+        self.max_slip = 0.0
+        self.laps: List[LapRecord] = []
+
+    def process_pose(self, t: float, x: float, y: float,
+                     v_x: float, v_y: float) -> Optional[LapRecord]:
+        total_v = math.hypot(v_x, v_y)
+        if total_v > self.max_speed:
+            self.max_speed = total_v
+        slip = 0.0
+        if v_x > 0.1:
+            slip = -math.atan(v_y / abs(v_x))
+        if slip > self.max_slip:
+            self.max_slip = slip
+
+        slope, intercept, x_min, x_max = self.line
+        line_eval = y > slope * x + intercept
+        record = None
+        if (self.last_eval is not None and line_eval != self.last_eval
+                and x_min < x < x_max):
+            if self.start_time is None:
+                self.start_time = t
+            else:
+                record = LapRecord(self.lap_number, t - self.start_time,
+                                   self.max_speed, self.max_slip)
+                self.laps.append(record)
+                self.lap_number += 1
+                self.start_time = t
+                self.max_speed = 0.0
+                self.max_slip = 0.0
+        self.last_eval = line_eval
+        return record

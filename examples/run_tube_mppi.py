@@ -1,0 +1,118 @@
+"""Full-stack tube-MPPI run — the ``path_integral_nn`` process equivalent.
+
+Brings up the complete runtime (SURVEY.md §3.1): dual MPPI controllers
+(actual-state + predicted-state) with DDP feedback gains, the plant
+pipeline with solution interpolation and feedback application, the
+tube-MPPI arbitration loop, the status-monitor watchdog, and lap-stats
+benchmarking — driving a synthetic plant around an oval track.
+
+Optionally loads its entire configuration from a reference roslaunch XML
+file (standalone-mode parity with ``param_getter.cpp:75-151``)::
+
+    python examples/run_tube_mppi.py --launch /root/reference/autorally_control/launch/path_integral_nn.launch
+"""
+
+import argparse
+import math
+import time
+
+import numpy as np
+
+MODEL_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
+             "models/autorally_nnet_09_12_2018.npz")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ticks", type=int, default=400)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--launch", default=None,
+                    help="roslaunch XML to load config from")
+    ap.add_argument("--rollouts", type=int, default=1920)
+    ap.add_argument("--timesteps", type=int, default=100)
+    ap.add_argument("--desired-speed", type=float, default=6.0)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from autorally_tpu.config import (CostParams, MPPIConfig,
+                                      config_from_params, load_launch_params)
+    from autorally_tpu.costs import MPPICost
+    from autorally_tpu.costs.costmap import make_costmap
+    from autorally_tpu.models import NeuralNetDynamics
+    from autorally_tpu.runtime import (ControlLoopConfig, Controller,
+                                       LapStats, StatusMonitor,
+                                       SyntheticPlant, run_control_loop)
+    from autorally_tpu.solver.ddp import DDPSolver
+    from autorally_tpu.solver.mppi import MPPISolver
+    from autorally_tpu.tools.track_generator import oval_track
+
+    if args.launch:
+        params = load_launch_params(args.launch, env={"AR_MPPI_PARAMS_PATH": ""})
+        cfg, cost_params = config_from_params(params)
+        cfg = cfg.replace(num_rollouts=args.rollouts)
+        print(f"config from {args.launch}: hz={cfg.hz} T={cfg.num_timesteps} "
+              f"gamma={cfg.gamma} desired_speed={float(cost_params.desired_speed)}")
+    else:
+        cfg = MPPIConfig(num_rollouts=args.rollouts,
+                         num_timesteps=args.timesteps)
+        cost_params = CostParams(desired_speed=args.desired_speed)
+
+    data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
+                              track_width=6.0, ppm=10.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params_m = model.load_params(MODEL_NPZ)
+
+    solver = MPPISolver(model, MPPICost(cfg.l1_cost), cfg)
+    ddp = DDPSolver(model, cfg.dt, cfg.num_timesteps)
+    actual = Controller(solver, params_m, cost_params, cm, ddp=ddp)
+    predicted = Controller(solver, params_m, cost_params, cm, ddp=ddp, seed=77)
+
+    start = np.array([30.0, 0.0, math.pi / 2, 0, 0, 0, 0], dtype=np.float32)
+    plant = SyntheticPlant(model, params_m, start, cfg.dt, cfg.num_timesteps,
+                           use_feedback_gains=cfg.use_feedback_gains,
+                           throttle_max=cfg.max_throttle)
+    plant.receive_state_vector(0.0, start)
+
+    monitor = StatusMonitor()
+    laps = LapStats(line=(0.0, -100.0, 25.0, 35.0))  # start line: y=-100?
+    # Start line: the segment x in [25, 35] on the +x side (y sign flip).
+    laps = LapStats(line=(0.0, 0.0, 25.0, 35.0))
+
+    used_counts = {"actual": 0, "predicted": 0}
+    t_wall = time.time()
+
+    def on_tick(i, chosen, used, state):
+        used_counts[used] += 1
+        rec = laps.process_pose(plant.sim_time, state[0], state[1],
+                                state[4], state[5])
+        if rec:
+            print(f"  LAP {rec.lap_number}: {rec.lap_time:.2f}s "
+                  f"max_speed={rec.max_speed:.2f} max_slip={rec.max_slip:.3f}")
+        if i % 100 == 0:
+            diag = monitor.diagnostic(plant.get_last_pose_time())
+            print(f"tick {i:4d} pos=({state[0]:+7.2f},{state[1]:+7.2f}) "
+                  f"speed={state[4]:5.2f} using={used:9s} "
+                  f"monitor={diag['level']}")
+
+    lcfg = ControlLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
+                             optimization_stride=cfg.optimization_stride,
+                             use_feedback_gains=cfg.use_feedback_gains,
+                             max_iter=args.ticks)
+    timing = run_control_loop(predicted, actual, plant, lcfg,
+                              monitor=monitor, on_tick=on_tick)
+
+    print(f"\n{args.ticks} ticks in {time.time()-t_wall:.1f}s wall")
+    print(f"controller usage: {used_counts}")
+    print(f"timing: avg tick {timing.avg_tick_ms:.2f} ms "
+          f"(budget {1000.0*cfg.optimization_stride/cfg.hz:.0f} ms)")
+    print(f"laps: {len(laps.laps)}  controls published: {len(plant.published)}")
+    print(f"final state: pos=({plant.true_state[0]:.2f},{plant.true_state[1]:.2f}) "
+          f"speed={plant.true_state[4]:.2f}")
+
+
+if __name__ == "__main__":
+    main()

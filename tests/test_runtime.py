@@ -1,0 +1,217 @@
+"""Runtime-layer tests: pose pipeline, plant semantics, control loop,
+telemetry."""
+
+import math
+
+import numpy as np
+import pytest
+
+from autorally_tpu.config import CostParams, MPPIConfig
+from autorally_tpu.costs import MPPICost
+from autorally_tpu.costs.costmap import make_costmap
+from autorally_tpu.models import NeuralNetDynamics
+from autorally_tpu.runtime.control_loop import ControlLoopConfig, run_control_loop
+from autorally_tpu.runtime.controller import Controller
+from autorally_tpu.runtime.plant import BasePlant, SyntheticPlant, ReplayPlant
+from autorally_tpu.runtime.pose import (HeadingUnwrapper, euler_123_to_quat,
+                                        quat_to_euler_123,
+                                        world_to_body_velocity)
+from autorally_tpu.runtime.telemetry import LapStats, StatusMonitor, TimingStats
+from autorally_tpu.solver.ddp import DDPSolver
+from autorally_tpu.solver.mppi import MPPISolver
+from autorally_tpu.tools.track_generator import oval_track
+
+NN_NPZ = "/root/reference/autorally_control/src/path_integral/params/models/autorally_nnet_09_12_2018.npz"
+
+
+# -- pose pipeline -----------------------------------------------------------
+
+def test_quat_euler_roundtrip(rng):
+    for _ in range(50):
+        roll = rng.uniform(-1.0, 1.0)
+        pitch = rng.uniform(-1.0, 1.0)
+        yaw = rng.uniform(-3.0, 3.0)
+        q = euler_123_to_quat(roll, pitch, yaw)
+        r2, p2, y2 = quat_to_euler_123(*q)
+        np.testing.assert_allclose([r2, p2, y2], [roll, pitch, yaw],
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_heading_unwrap():
+    unwrap = HeadingUnwrapper()
+    headings = [3.0, 3.13, -3.13, -3.0, -3.13, 3.13, 3.0]
+    out = [unwrap(h) for h in headings]
+    # crossing +pi: continues upward past pi instead of jumping to -3.13
+    assert out[2] == pytest.approx(-3.13 + 2 * math.pi)
+    # crossing back down restores the original branch
+    assert out[5] == pytest.approx(3.13)
+    assert out[6] == pytest.approx(3.0)
+
+
+def test_world_to_body_velocity():
+    u_x, u_y = world_to_body_velocity(math.pi / 2, 0.0, 5.0)
+    np.testing.assert_allclose([u_x, u_y], [5.0, 0.0], atol=1e-12)
+
+
+# -- plant -------------------------------------------------------------------
+
+def make_plant(**kw):
+    return BasePlant(dt=0.02, num_timesteps=10, **kw)
+
+
+def test_plant_interpolation_feedforward():
+    plant = make_plant(use_feedback_gains=False)
+    ctrl = np.stack([np.linspace(0, 0.9, 10), np.full(10, 0.5)], axis=1)
+    plant.set_solution(np.zeros((10, 7)), ctrl, None, ts=100.0)
+    out = plant.receive_state_vector(100.0 + 0.03, np.zeros(7))
+    # t=0.03 -> lo=1, alpha=0.5 -> steering = (0.1+0.2)/2
+    assert out is not None
+    np.testing.assert_allclose(out[0], 0.15, atol=1e-6)
+    np.testing.assert_allclose(out[1], 0.5, atol=1e-6)
+
+
+def test_plant_feedback_gains_applied():
+    plant = make_plant(use_feedback_gains=True)
+    T = 10
+    ctrl = np.zeros((T, 2))
+    states = np.zeros((T, 7))
+    gains = np.zeros((T, 2, 7))
+    gains[:, 0, 1] = -0.5       # steer = -0.5 * y_error
+    plant.set_solution(states, ctrl, gains, ts=100.0)
+    s = np.zeros(7)
+    s[1] = 1.0                  # 1 m lateral error
+    out = plant.receive_state_vector(100.02, s)
+    np.testing.assert_allclose(out[0], -0.5, atol=1e-6)
+
+
+def test_plant_nan_control_shuts_down():
+    plant = make_plant(use_feedback_gains=False)
+    ctrl = np.full((10, 2), np.nan)
+    plant.set_solution(np.zeros((10, 7)), ctrl, None, ts=100.0)
+    out = plant.receive_state_vector(100.02, np.zeros(7))
+    assert out == (0.0, 0.0)
+    assert plant.shutdown
+
+
+def test_plant_runstop_zeroes_throttle():
+    plant = make_plant(use_feedback_gains=False)
+    plant.set_runstop(True)
+    ctrl = np.tile([0.3, 0.6], (10, 1))
+    plant.set_solution(np.zeros((10, 7)), ctrl, None, ts=100.0)
+    out = plant.receive_state_vector(100.02, np.zeros(7))
+    assert out[1] == 0.0 and out[0] == pytest.approx(0.3)
+
+
+def test_plant_stale_solution_not_used():
+    plant = make_plant(use_feedback_gains=False)
+    plant.set_solution(np.zeros((10, 7)), np.zeros((10, 2)), None, ts=100.0)
+    # pose far beyond the horizon -> no publication
+    assert plant.receive_state_vector(100.0 + 0.02 * 20, np.zeros(7)) is None
+    assert plant.check_status(100.0 + 1.0) == 2   # stale pose
+
+
+# -- telemetry ---------------------------------------------------------------
+
+def test_timing_running_average():
+    ts = TimingStats()
+    for v in [10.0, 20.0, 30.0]:
+        ts.update(v, v, v)
+    assert ts.avg_loop_ms == pytest.approx(20.0)
+
+
+def test_status_monitor_timeout():
+    mon = StatusMonitor()
+    assert mon.diagnostic(0.0)["level"] == "error"
+    mon.heartbeat(1.0, 0, "ok")
+    assert mon.diagnostic(1.2)["level"] == "ok"
+    assert mon.diagnostic(2.0)["level"] == "error"
+
+
+def test_lap_stats_counts_laps():
+    # unit circle crossing the x-axis line segment |x| < 2 twice per lap
+    laps = LapStats(line=(0.0, 0.0, -2.0, 2.0))
+    recs = []
+    for i in range(800):
+        th = i * 0.0314
+        x, y = math.cos(th), math.sin(th)
+        rec = laps.process_pose(i * 0.02, x, y, 1.0, 0.0)
+        if rec:
+            recs.append(rec)
+    assert len(recs) >= 2
+    assert all(r.lap_time > 0 for r in recs)
+    assert recs[0].max_speed == pytest.approx(1.0)
+
+
+# -- control loop (lockstep, dual controllers, synthetic plant) --------------
+
+def test_control_loop_drives_car():
+    cfg = MPPIConfig(num_rollouts=128, num_timesteps=40, hz=50)
+    data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
+                              track_width=6.0, ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    ddp = DDPSolver(model, cfg.dt, cfg.num_timesteps)
+    cost_params = CostParams(desired_speed=5.0)
+
+    actual = Controller(solver, params, cost_params, cm, ddp=ddp)
+    predicted = Controller(solver, params, cost_params, cm, ddp=ddp, seed=99)
+
+    start = np.array([30.0, 0.0, math.pi / 2, 0, 0, 0, 0], dtype=np.float32)
+    plant = SyntheticPlant(model, params, start, cfg.dt, cfg.num_timesteps,
+                           use_feedback_gains=True)
+    plant.receive_state_vector(0.0, start)
+
+    used = []
+    lcfg = ControlLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
+                             max_iter=60)
+    timing = run_control_loop(
+        predicted, actual, plant, lcfg,
+        on_tick=lambda i, c, u, s: used.append(u))
+
+    final = plant.true_state
+    assert final[4] > 1.5, f"car did not accelerate: u_x={final[4]}"
+    dist = np.hypot(final[0] - start[0], final[1] - start[1])
+    assert dist > 1.0, "car did not move"
+    assert timing.num_iter == 60
+    # both solutions published, controls were emitted at pose rate
+    assert len(plant.published) > 50
+    assert set(used) <= {"actual", "predicted"}
+    assert plant.check_status(plant.get_last_pose_time()) == 0
+
+
+def test_control_loop_forced_controller_choice():
+    cfg = MPPIConfig(num_rollouts=64, num_timesteps=16, hz=50)
+    data, xb, yb = oval_track(ppm=2.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    actual = Controller(solver, params, CostParams(), cm)
+    predicted = Controller(solver, params, CostParams(), cm, seed=5)
+
+    start = np.array([30.0, 0.0, math.pi / 2, 0, 0, 0, 0], dtype=np.float32)
+    plant = SyntheticPlant(model, params, start, cfg.dt, cfg.num_timesteps,
+                           use_feedback_gains=False)
+    plant.receive_state_vector(0.0, start)
+    used = []
+    lcfg = ControlLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
+                             max_iter=5, use_feedback_gains=False,
+                             use_only_actual=True)
+    run_control_loop(predicted, actual, plant, lcfg,
+                     on_tick=lambda i, c, u, s: used.append(u))
+    assert used == ["actual"] * 5
+
+
+def test_replay_plant():
+    log = np.zeros((20, 8), dtype=np.float32)
+    log[:, 0] = np.arange(20) * 0.02      # t
+    log[:, 1] = np.linspace(0, 5, 20)     # x advancing
+    plant = ReplayPlant(log, dt=0.02, num_timesteps=10,
+                        use_feedback_gains=False)
+    n = 0
+    while plant.advance():
+        n += 1
+    assert n == 20 and plant.exhausted
+    assert plant.get_state().x_pos == pytest.approx(5.0)
