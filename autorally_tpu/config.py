@@ -96,6 +96,9 @@ class MPPIConfig:
     debug_mode: bool = False
     # Fraction of rollouts that are pure noise (mppi_controller.cu:141).
     pure_noise_frac: float = 0.99
+    # lax.scan unroll factor for the horizon loops (TPU perf knob: merges
+    # scan iterations to amortize per-step overhead; no semantic effect).
+    scan_unroll: int = 10
 
     @property
     def dt(self) -> float:

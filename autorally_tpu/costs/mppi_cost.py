@@ -72,8 +72,10 @@ class MPPICost:
         yf = s[..., 1] + FRONT_D * sn
         xb = s[..., 0] + BACK_D * c
         yb = s[..., 1] + BACK_D * sn
-        front = costmap.lookup(xf, yf)[..., 0]
-        back = costmap.lookup(xb, yb)[..., 0]
+        # One fused gather for all front+back points (channel 0 only,
+        # costs.cu:379-380) through the fast row-gather layout.
+        both = costmap.lookup_ch0(jnp.stack([xf, xb]), jnp.stack([yf, yb]))
+        front, back = both[0], both[1]
         track = (jnp.abs(front) + jnp.abs(back)) / 2.0
         track = jnp.where(jnp.abs(track) < p.track_slop, 0.0,
                           p.track_coeff * track)

@@ -133,34 +133,58 @@ class MPPISolver:
         pure_noise = k_idx >= cfg.pure_noise_frac * K_total    # last 1%
 
         s0 = jnp.broadcast_to(state, (K, model.STATE_DIM)).astype(jnp.float32)
-        running0 = jnp.zeros((K,), dtype=jnp.float32)
-        crash0 = jnp.zeros((K,), dtype=jnp.int32)
 
-        def step(carry, inp):
-            s, running, crash = carry
+        # ---- phase 1: the sequential dynamics chain ------------------------
+        # Only the state-dependency chain lives in the scan; everything else
+        # (costs, crash latch, reductions) is deferred to a single batched
+        # pass over (T, K) below.  The reference fuses cost into the rollout
+        # kernel because on a GPU each thread owns a rollout; on TPU the
+        # sequential scan is latency-bound, so the less per step the better.
+        def step(s, inp):
             t, eps_t, U_t = inp
             du_t = eps_t * nu                                  # (K, C)
             frozen = zero_rollout | (t < opt_delay)
             u = jnp.where(frozen[:, None], U_t,
                           jnp.where(pure_noise[:, None], du_t, U_t + du_t))
             du_eff = jnp.where(frozen[:, None], 0.0, du_t)
-            u_store = u                                        # pre-clamp (cu:153)
             u_cl = model.enforce_constraints(model_params, u)
-            cost_t, crash = cost.compute_cost(
-                cost_params, costmap, s, u_cl, du_eff, nu, crash)
-            t_f = t.astype(jnp.float32)
-            running = jnp.where(t > 0,
-                                running + (cost_t - running) / jnp.maximum(t_f, 1.0),
-                                running)
-            s = s + model.state_deriv(model_params, s, u_cl) * model.dt
-            crash = cost.get_crash(s, crash)
-            return (s, running, crash), u_store
+            s_next = s + model.state_deriv(model_params, s, u_cl) * model.dt
+            # u is stored pre-clamp (mppi_controller.cu:153); s_next is the
+            # state the *next* timestep's cost sees.
+            return s_next, (u, u_cl, du_eff, s_next)
 
         ts = jnp.arange(cfg.num_timesteps)
-        (s_T, running, crash), u_seq = lax.scan(
-            step, (s0, running0, crash0), (ts, eps, U))
-        total = running + cost.terminal_cost(s_T)              # (K,)
-        return total, u_seq, crash
+        _, (u_seq, u_cl_seq, du_seq, states) = lax.scan(
+            step, s0, (ts, eps, U), unroll=cfg.scan_unroll)
+
+        # ---- phase 2: batched cost evaluation over (T, K) ------------------
+        # Cost step t (t = 1..T-1) uses state s_t (after t updates) and the
+        # controls of step t (rolloutKernel, mppi_controller.cu:157-178).
+        s_cost = states[:-1]                                   # s_1..s_{T-1}
+        u_cost = u_cl_seq[1:]
+        du_cost = du_seq[1:]
+
+        control_c = cost.control_cost(cost_params, u_cost, du_cost, nu)
+        speed_c = cost.speed_cost(cost_params, s_cost)
+        stab_c = cost.stabilizing_cost(cost_params, s_cost)
+        zeros = jnp.zeros(s_cost.shape[:-1], dtype=jnp.int32)
+        track_c, boundary = cost.track_cost(cost_params, costmap, s_cost, zeros)
+        # Crash latch: boundary(s_j) is checked inside cost step j and
+        # roll(s_j) at the end of step j-1 — both first affect cost step j,
+        # and the latch persists (getCrash/getTrackCost + the per-step OR in
+        # the kernel).  Batched, that is a running max over cost steps.
+        roll_flag = (jnp.abs(s_cost[..., 3]) > 1.57).astype(jnp.int32)
+        crash = lax.cummax(jnp.maximum(boundary, roll_flag), axis=0)
+        crash_c = (1.0 - cost_params.discount) * cost.crash_cost(
+            cost_params, crash)
+
+        c = control_c + speed_c + crash_c + track_c + stab_c   # (T-1, K)
+        c = jnp.where((c > 1e12) | jnp.isnan(c), 1e12, c)
+        # The reference's running-average accumulation
+        # (mppi_controller.cu:162-165) telescopes to the arithmetic mean of
+        # cost steps 1..T-1.
+        total = jnp.mean(c, axis=0) + cost.terminal_cost(states[-1])
+        return total, u_seq, crash[-1]
 
     def iterate(self, model_params, cost_params: CostParams, costmap: Costmap,
                 state: jnp.ndarray, U: jnp.ndarray, eps: jnp.ndarray
@@ -238,7 +262,8 @@ class MPPISolver:
             return s_next, (s, u_cl)
 
         _, (states_sol, controls_sol) = lax.scan(
-            nstep, state.astype(jnp.float32), U)
+            nstep, state.astype(jnp.float32), U,
+            unroll=self.cfg.scan_unroll)
         return states_sol, controls_sol
 
     # ------------------------------------------------------------------
