@@ -99,6 +99,9 @@ class MPPIConfig:
     # lax.scan unroll factor for the horizon loops (TPU perf knob: merges
     # scan iterations to amortize per-step overhead; no semantic effect).
     scan_unroll: int = 10
+    # Fused Pallas rollout kernel: None = auto (TPU + MLP model + lane-
+    # aligned K), True/False = force.  No semantic effect.
+    use_pallas_rollout: bool = None
 
     @property
     def dt(self) -> float:

@@ -66,13 +66,19 @@ class Costmap:
         return self.data.shape[1]
 
     @classmethod
-    def build(cls, data: jnp.ndarray, r_c1, r_c2, trs) -> "Costmap":
-        """Construct from (H, W, 4) data, deriving the fast-gather layout."""
+    def build(cls, data: jnp.ndarray, r_c1, r_c2, trs,
+              row_lanes: int = 32) -> "Costmap":
+        """Construct from (H, W, 4) data, deriving the fast-gather layout.
+
+        ``row_lanes`` trades gather-row DMA latency against materialized
+        intermediate size (N x row_lanes floats per lookup batch).
+        """
         data = jnp.asarray(data, dtype=jnp.float32)
         H, W = data.shape[:2]
-        Wp = -(-W // LANE) * LANE
+        Wp = -(-W // row_lanes) * row_lanes
         ch0 = jnp.pad(data[..., 0], ((0, 0), (0, Wp - W)))
-        return cls(data, ch0.reshape(H * (Wp // LANE), LANE), r_c1, r_c2, trs)
+        return cls(data, ch0.reshape(H * (Wp // row_lanes), row_lanes),
+                   r_c1, r_c2, trs)
 
     def world_to_norm(self, x: jnp.ndarray, y: jnp.ndarray
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -111,11 +117,12 @@ class Costmap:
         shape = ix.shape
         ix = ix.reshape(-1)
         iy = iy.reshape(-1)
+        row_lanes = self.ch0_rows.shape[1]
         blocks_per_row = self.ch0_rows.shape[0] // self.height
-        row_idx = iy * blocks_per_row + ix // LANE
-        lane = ix % LANE
-        rows = jnp.take(self.ch0_rows, row_idx, axis=0)        # (N, 128)
-        onehot = (lane[:, None] == jnp.arange(LANE)[None, :])
+        row_idx = iy * blocks_per_row + ix // row_lanes
+        lane = ix % row_lanes
+        rows = jnp.take(self.ch0_rows, row_idx, axis=0)        # (N, row_lanes)
+        onehot = (lane[:, None] == jnp.arange(row_lanes)[None, :])
         vals = jnp.sum(rows * onehot.astype(jnp.float32), axis=1)
         return vals.reshape(shape)
 

@@ -44,34 +44,34 @@ class MPPICost:
     def __init__(self, l1_cost: bool = False):
         self.l1_cost = bool(l1_cost)
 
-    # -- individual terms (each batched over K) -----------------------------
+    # -- individual terms, component form (layout-agnostic: every argument
+    # is a same-shaped array of one state/control component, so callers can
+    # feed batch-last (K, S) slices or the Pallas kernel's lanes-major
+    # (T, S, K) rows without transposing) ------------------------------------
 
-    def control_cost(self, p: CostParams, u: jnp.ndarray, du: jnp.ndarray,
-                     nu: jnp.ndarray) -> jnp.ndarray:
-        """``getControlCost`` (costs.cu:307-313).  ``u`` is the *clamped*
-        control, ``du`` the raw scaled noise — matching the kernel call site
-        (mppi_controller.cu:164)."""
-        return (p.steering_coeff * du[..., 0] * (u[..., 0] - du[..., 0])
-                / (nu[0] * nu[0])
-                + p.throttle_coeff * du[..., 1] * (u[..., 1] - du[..., 1])
-                / (nu[1] * nu[1]))
+    def control_cost_c(self, p: CostParams, u0, u1, du0, du1,
+                       nu) -> jnp.ndarray:
+        """``getControlCost`` (costs.cu:307-313).  ``u*`` are the *clamped*
+        controls, ``du*`` the raw scaled noise — matching the kernel call
+        site (mppi_controller.cu:164)."""
+        return (p.steering_coeff * du0 * (u0 - du0) / (nu[0] * nu[0])
+                + p.throttle_coeff * du1 * (u1 - du1) / (nu[1] * nu[1]))
 
-    def speed_cost(self, p: CostParams, s: jnp.ndarray) -> jnp.ndarray:
+    def speed_cost_c(self, p: CostParams, ux) -> jnp.ndarray:
         """``getSpeedCost`` (costs.cu:315-326)."""
-        err = s[..., 4] - p.desired_speed
+        err = ux - p.desired_speed
         cost = jnp.abs(err) if self.l1_cost else err * err
         return p.speed_coeff * cost
 
-    def track_cost(self, p: CostParams, costmap: Costmap, s: jnp.ndarray,
-                   crash: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def track_cost_c(self, p: CostParams, costmap: Costmap, x, y, yaw,
+                     crash) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """``getTrackCost`` (costs.cu:359-393): costmap channel 0 sampled at
         the car's front and back; boundary crossing latches the crash flag."""
-        yaw = s[..., 2]
         c, sn = jnp.cos(yaw), jnp.sin(yaw)
-        xf = s[..., 0] + FRONT_D * c
-        yf = s[..., 1] + FRONT_D * sn
-        xb = s[..., 0] + BACK_D * c
-        yb = s[..., 1] + BACK_D * sn
+        xf = x + FRONT_D * c
+        yf = y + FRONT_D * sn
+        xb = x + BACK_D * c
+        yb = y + BACK_D * sn
         # One fused gather for all front+back points (channel 0 only,
         # costs.cu:379-380) through the fast row-gather layout.
         both = costmap.lookup_ch0(jnp.stack([xf, xb]), jnp.stack([yf, yb]))
@@ -83,17 +83,33 @@ class MPPICost:
                           | (back >= p.boundary_threshold), 1, crash)
         return track, crash
 
-    def stabilizing_cost(self, p: CostParams, s: jnp.ndarray) -> jnp.ndarray:
+    def stabilizing_cost_c(self, p: CostParams, ux, uy) -> jnp.ndarray:
         """``getStabilizingCost`` (costs.cu:337-349): slip-angle penalty and
         trajectory kill above ``max_slip_ang``."""
-        ux = s[..., 4]
-        uy = s[..., 5]
         active = jnp.abs(ux) > 0.001
         slip = -jnp.arctan(uy / jnp.where(active, jnp.abs(ux), 1.0))
         cost = p.slip_penalty * slip * slip
         cost = cost + jnp.where(jnp.abs(slip) > p.max_slip_ang,
                                 p.crash_coeff, 0.0)
         return jnp.where(active, cost, 0.0)
+
+    # -- batch-last convenience wrappers ((..., S) states) -------------------
+
+    def control_cost(self, p: CostParams, u: jnp.ndarray, du: jnp.ndarray,
+                     nu: jnp.ndarray) -> jnp.ndarray:
+        return self.control_cost_c(p, u[..., 0], u[..., 1],
+                                   du[..., 0], du[..., 1], nu)
+
+    def speed_cost(self, p: CostParams, s: jnp.ndarray) -> jnp.ndarray:
+        return self.speed_cost_c(p, s[..., 4])
+
+    def track_cost(self, p: CostParams, costmap: Costmap, s: jnp.ndarray,
+                   crash: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self.track_cost_c(p, costmap, s[..., 0], s[..., 1],
+                                 s[..., 2], crash)
+
+    def stabilizing_cost(self, p: CostParams, s: jnp.ndarray) -> jnp.ndarray:
+        return self.stabilizing_cost_c(p, s[..., 4], s[..., 5])
 
     def crash_cost(self, p: CostParams, crash: jnp.ndarray) -> jnp.ndarray:
         """``getCrashCost`` (costs.cu:328-335)."""

@@ -57,6 +57,9 @@ class ShardedMPPISolver(MPPISolver):
                 f"{self.n_shards} shards")
         super().__init__(model, cost, cfg)
 
+    def _local_rollouts(self) -> int:
+        return self.cfg.num_rollouts // self.n_shards
+
     # The sharded iteration: replicated inputs, replicated outputs; the K
     # axis exists only *inside* the shard_map body (each chip materializes
     # just its own noise and rollout buffers — at K=262144, N=32 that is
@@ -82,7 +85,8 @@ class ShardedMPPISolver(MPPISolver):
             w = jnp.exp(-cfg.gamma * (total - baseline))
             eta = lax.psum(jnp.sum(w), axis)
             sum_w2 = lax.psum(jnp.sum(w * w), axis)
-            numer = lax.psum(jnp.einsum("k,tkc->tc", w, u_seq), axis)
+            spec = "k,ctk->tc" if self.use_pallas_rollout else "k,tkc->tc"
+            numer = lax.psum(jnp.einsum(spec, w, u_seq), axis)
             U_new = numer / eta
 
             stats = SolveStats(

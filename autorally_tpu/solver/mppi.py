@@ -80,8 +80,25 @@ class MPPISolver:
         self.cfg = cfg
         self.nu = jnp.asarray(cfg.exploration_std, dtype=jnp.float32)
         self.init_u = jnp.asarray(cfg.init_u, dtype=jnp.float32)
+        self.use_pallas_rollout = self._decide_pallas()
+        self._pallas_interpret = False
         self._solve_jit = jax.jit(self._solve)
         self._slide_jit = jax.jit(self._slide)
+
+    def _decide_pallas(self) -> bool:
+        """Use the fused Pallas dynamics kernel when it applies: MLP model,
+        TPU backend, lane-aligned rollout count (config override via
+        ``cfg.use_pallas_rollout``)."""
+        from autorally_tpu.models.neural_net import NeuralNetDynamics
+        from autorally_tpu.ops.rollout_kernel import pallas_supported
+
+        if self.cfg.use_pallas_rollout is not None:
+            return self.cfg.use_pallas_rollout
+        return (type(self.model) is NeuralNetDynamics
+                and pallas_supported(self._local_rollouts()))
+
+    def _local_rollouts(self) -> int:
+        return self.cfg.num_rollouts
 
     # ------------------------------------------------------------------
     # construction helpers
@@ -132,48 +149,75 @@ class MPPISolver:
         zero_rollout = k_idx == 0                              # noise-free
         pure_noise = k_idx >= cfg.pure_noise_frac * K_total    # last 1%
 
-        s0 = jnp.broadcast_to(state, (K, model.STATE_DIM)).astype(jnp.float32)
-
         # ---- phase 1: the sequential dynamics chain ------------------------
-        # Only the state-dependency chain lives in the scan; everything else
+        # Only the state-dependency chain runs sequentially; everything else
         # (costs, crash latch, reductions) is deferred to a single batched
         # pass over (T, K) below.  The reference fuses cost into the rollout
         # kernel because on a GPU each thread owns a rollout; on TPU the
-        # sequential scan is latency-bound, so the less per step the better.
-        def step(s, inp):
-            t, eps_t, U_t = inp
-            du_t = eps_t * nu                                  # (K, C)
-            frozen = zero_rollout | (t < opt_delay)
-            u = jnp.where(frozen[:, None], U_t,
-                          jnp.where(pure_noise[:, None], du_t, U_t + du_t))
-            du_eff = jnp.where(frozen[:, None], 0.0, du_t)
-            u_cl = model.enforce_constraints(model_params, u)
-            s_next = s + model.state_deriv(model_params, s, u_cl) * model.dt
-            # u is stored pre-clamp (mppi_controller.cu:153); s_next is the
-            # state the *next* timestep's cost sees.
-            return s_next, (u, u_cl, du_eff, s_next)
+        # sequential loop is latency-bound, so the less per step the better.
+        # On TPU with an MLP model the chain runs as a fused Pallas kernel
+        # (ops/rollout_kernel.py) with state/weights resident in VMEM.
+        if self.use_pallas_rollout:
+            from autorally_tpu.ops.rollout_kernel import dynamics_chain_pallas
 
-        ts = jnp.arange(cfg.num_timesteps)
-        _, (u_seq, u_cl_seq, du_seq, states) = lax.scan(
-            step, s0, (ts, eps, U), unroll=cfg.scan_unroll)
+            # Component-major layout: states (SPAD, T, K), u_seq (C, T, K).
+            # Phase 2 consumes contiguous (T-1, K) planes — no relayouts.
+            states, u_seq = dynamics_chain_pallas(
+                model, model_params, cfg, state, U, eps, k_offset=k_offset,
+                interpret=self._pallas_interpret)
+            s_c = lambda i: states[i, :-1, :]                  # (T-1, K)
+            u_c = lambda j: u_seq[j, 1:, :]
+            eps_c = lambda j: eps[1:, :, j]
+            s_last = states[:model.STATE_DIM, -1, :].T         # (K, S)
+        else:
+            s0 = jnp.broadcast_to(
+                state, (K, model.STATE_DIM)).astype(jnp.float32)
 
-        # ---- phase 2: batched cost evaluation over (T, K) ------------------
+            def step(s, inp):
+                t, eps_t, U_t = inp
+                du_t = eps_t * nu                              # (K, C)
+                frozen = zero_rollout | (t < opt_delay)
+                u = jnp.where(frozen[:, None], U_t,
+                              jnp.where(pure_noise[:, None], du_t,
+                                        U_t + du_t))
+                u_cl = model.enforce_constraints(model_params, u)
+                s_next = (s + model.state_deriv(model_params, s, u_cl)
+                          * model.dt)
+                # u is stored pre-clamp (mppi_controller.cu:153); s_next is
+                # the state the *next* timestep's cost sees.
+                return s_next, (u, s_next)
+
+            ts = jnp.arange(cfg.num_timesteps)
+            _, (u_seq, states) = lax.scan(
+                step, s0, (ts, eps, U), unroll=cfg.scan_unroll)
+            s_c = lambda i: states[:-1, :, i]                  # (T-1, K)
+            u_c = lambda j: u_seq[1:, :, j]
+            eps_c = lambda j: eps[1:, :, j]
+            s_last = states[-1]                                # (K, S)
+
+        # ---- phase 2: batched cost evaluation over (T-1, K) ----------------
         # Cost step t (t = 1..T-1) uses state s_t (after t updates) and the
         # controls of step t (rolloutKernel, mppi_controller.cu:157-178).
-        s_cost = states[:-1]                                   # s_1..s_{T-1}
-        u_cost = u_cl_seq[1:]
-        du_cost = du_seq[1:]
+        rngs = jnp.reshape(model_params["control_rngs"], (-1, 2))[-2:]
+        frozen_cost = (zero_rollout[None, :]
+                       | (jnp.arange(1, cfg.num_timesteps)[:, None]
+                          < opt_delay))
+        du0 = jnp.where(frozen_cost, 0.0, eps_c(0) * nu[0])
+        du1 = jnp.where(frozen_cost, 0.0, eps_c(1) * nu[1])
+        u0 = jnp.clip(u_c(0), rngs[0, 0], rngs[0, 1])
+        u1 = jnp.clip(u_c(1), rngs[1, 0], rngs[1, 1])
 
-        control_c = cost.control_cost(cost_params, u_cost, du_cost, nu)
-        speed_c = cost.speed_cost(cost_params, s_cost)
-        stab_c = cost.stabilizing_cost(cost_params, s_cost)
-        zeros = jnp.zeros(s_cost.shape[:-1], dtype=jnp.int32)
-        track_c, boundary = cost.track_cost(cost_params, costmap, s_cost, zeros)
+        control_c = cost.control_cost_c(cost_params, u0, u1, du0, du1, nu)
+        speed_c = cost.speed_cost_c(cost_params, s_c(4))
+        stab_c = cost.stabilizing_cost_c(cost_params, s_c(4), s_c(5))
+        zeros = jnp.zeros(control_c.shape, dtype=jnp.int32)
+        track_c, boundary = cost.track_cost_c(
+            cost_params, costmap, s_c(0), s_c(1), s_c(2), zeros)
         # Crash latch: boundary(s_j) is checked inside cost step j and
         # roll(s_j) at the end of step j-1 — both first affect cost step j,
         # and the latch persists (getCrash/getTrackCost + the per-step OR in
         # the kernel).  Batched, that is a running max over cost steps.
-        roll_flag = (jnp.abs(s_cost[..., 3]) > 1.57).astype(jnp.int32)
+        roll_flag = (jnp.abs(s_c(3)) > 1.57).astype(jnp.int32)
         crash = lax.cummax(jnp.maximum(boundary, roll_flag), axis=0)
         crash_c = (1.0 - cost_params.discount) * cost.crash_cost(
             cost_params, crash)
@@ -183,7 +227,7 @@ class MPPISolver:
         # The reference's running-average accumulation
         # (mppi_controller.cu:162-165) telescopes to the arithmetic mean of
         # cost steps 1..T-1.
-        total = jnp.mean(c, axis=0) + cost.terminal_cost(states[-1])
+        total = jnp.mean(c, axis=0) + cost.terminal_cost(s_last)
         return total, u_seq, crash[-1]
 
     def iterate(self, model_params, cost_params: CostParams, costmap: Costmap,
@@ -206,7 +250,10 @@ class MPPISolver:
         w = jnp.exp(-cfg.gamma * (total - baseline))           # (K,)
         eta = jnp.sum(w)
         traj_cost = jnp.sum(w * w) / eta
-        U_new = jnp.einsum("k,tkc->tc", w, u_seq) / eta
+        # u_seq layout differs by rollout backend: (C, T, K) component-major
+        # from the Pallas kernel, (T, K, C) from the scan.
+        spec = "k,ctk->tc" if self.use_pallas_rollout else "k,tkc->tc"
+        U_new = jnp.einsum(spec, w, u_seq) / eta
 
         stats = SolveStats(
             baseline=baseline,
@@ -255,6 +302,13 @@ class MPPISolver:
         ``mppi_controller.cu:501-519``): records state *before* each update
         and the clamped controls."""
         model = self.model
+        if self.use_pallas_rollout:
+            from autorally_tpu.ops.rollout_kernel import (
+                nominal_trajectory_pallas)
+
+            return nominal_trajectory_pallas(
+                model, model_params, self.cfg, state.astype(jnp.float32), U,
+                interpret=self._pallas_interpret)
 
         def nstep(s, u_t):
             u_cl = model.enforce_constraints(model_params, u_t)
