@@ -117,4 +117,5 @@ class BasisFunctionDynamics(Dynamics):
                  controls: jnp.ndarray) -> jnp.ndarray:
         phi = car_basis_functions(states, controls)
         return jnp.dot(phi, params["theta"],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)

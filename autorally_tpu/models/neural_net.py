@@ -109,7 +109,10 @@ class NeuralNetDynamics(Dynamics):
             [states[..., self.KINEMATICS_DIM:], controls], axis=-1)
         n = len(params["weights"])
         for i, (W, b) in enumerate(zip(params["weights"], params["biases"])):
-            acts = jnp.dot(acts, W, preferred_element_type=jnp.float32) + b
+            # HIGHEST: true-f32 MXU passes, matching the reference's fp32
+            # CUDA math and the Pallas kernel (TPU default is bf16 passes).
+            acts = jnp.dot(acts, W, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST) + b
             if i < n - 1:
                 acts = jnp.tanh(acts)
         return acts

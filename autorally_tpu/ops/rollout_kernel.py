@@ -10,13 +10,23 @@ entire T-step horizon runs inside a single kernel with zero HBM traffic
 for intermediates — weights, state, and activations stay in VMEM across
 all timesteps (the fix for SURVEY.md §7 hard-part (b)).
 
-Cost evaluation is deliberately NOT fused (unlike the CUDA kernel): the
-track-cost costmap gather has no efficient in-kernel form on TPU (Mosaic
-supports lane-wise gathers only), so the kernel emits the state and
-control trajectories and the batched cost pass in ``MPPISolver``
-consumes them.  The per-step semantics here are bit-matched to the scan
-path (same noise protocol, clamp, Euler order), which the parity tests
-check in interpreter mode.
+Two kernel variants:
+
+- ``dynamics_chain_pallas`` — dynamics only.  Cost evaluation is NOT
+  fused: the exact track-cost costmap gather has no efficient in-kernel
+  form on TPU (Mosaic supports lane-wise gathers only), so the kernel
+  emits state/control trajectories and the batched cost pass in
+  ``MPPISolver`` consumes them (one big XLA row-gather).
+- ``fused_rollout_cost_pallas`` — dynamics AND cost in one kernel, for
+  the *neural costmap* (``costs/neural_costmap.py``).  A neural track
+  field has no gather — it is matmuls — so the entire reference
+  ``rolloutKernel`` (``mppi_controller.cu:72-184``: perturb, clamp, cost
+  with crash latch, dynamics, Euler) fuses into a single Pallas program
+  whose intermediates never touch HBM.  At large K this removes both the
+  gather bottleneck and the (T, K, S) state materialization.
+
+The per-step semantics are bit-matched to the scan path (same noise
+protocol, clamp, Euler order), which the parity tests check.
 """
 
 from __future__ import annotations
@@ -32,6 +42,26 @@ from jax.experimental.pallas import tpu as pltpu
 # state rows are padded 7 -> 8 sublanes
 SPAD = 8
 LANE = 128
+
+
+def _atan(z: jnp.ndarray) -> jnp.ndarray:
+    """Polynomial arctangent (Mosaic has no atan primitive).
+
+    Minimax odd polynomial on [0, 1] + the reflection
+    ``atan(z) = pi/2 - atan(1/z)`` for |z| > 1; max error ~1e-7, well
+    inside float32 cost tolerance for the slip-angle term
+    (costs.cu:337-349)."""
+    az = jnp.abs(z)
+    inv = az > 1.0
+    x = jnp.where(inv, 1.0 / jnp.maximum(az, 1e-30), az)
+    x2 = x * x
+    p = jnp.float32(-0.0040540580)
+    for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
+              0.1994653599, -0.3332985605, 0.9999993329):
+        p = p * x2 + jnp.float32(c)
+    p = p * x
+    p = jnp.where(inv, jnp.float32(jnp.pi / 2) - p, p)
+    return jnp.where(z < 0, -p, p)
 
 
 def pallas_supported(K: int) -> bool:
@@ -66,7 +96,7 @@ def _rollout_kernel(n_layers: int, T: int, negate_yaw_der: bool, dt: float,
     useq_out = refs[2 * n_layers + 1]
     s_ref = refs[2 * n_layers + 2]
 
-    K = s0_ref.shape[-1]
+    K = s0_ref.shape[-1]           # tile width (lanes) of this grid cell
     nu0 = scalars_ref[0]
     nu1 = scalars_ref[1]
     lo0, hi0 = scalars_ref[2], scalars_ref[3]
@@ -77,7 +107,10 @@ def _rollout_kernel(n_layers: int, T: int, negate_yaw_der: bool, dt: float,
 
     s_ref[:, :] = s0_ref[:, :]
 
-    k_idx = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1).astype(jnp.float32)
+    # global-within-shard rollout index: grid cells tile the K axis
+    tile0 = (pl.program_id(0) * K).astype(jnp.float32)
+    k_idx = tile0 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, K), 1).astype(jnp.float32)
     zero_rollout = (k_idx == 0.0) & (k0_flag > 0.5)
     pure_noise = k_idx >= pure_thresh
 
@@ -117,7 +150,8 @@ def _rollout_kernel(n_layers: int, T: int, negate_yaw_der: bool, dt: float,
             b = weights[2 * i + 1][:, :]         # (out, 1)
             acts = jax.lax.dot_general(
                 W, acts, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + b
             if i < n_layers - 1:
                 acts = jnp.tanh(acts)
 
@@ -133,6 +167,22 @@ def _rollout_kernel(n_layers: int, T: int, negate_yaw_der: bool, dt: float,
     jax.lax.fori_loop(0, T, step, 0)
 
 
+# Largest K handled in a single VMEM-resident grid cell.  Bigger batches
+# tile the lane axis; the Pallas grid double-buffers each cell's blocks
+# (eps in, states/useq out), so multi-cell tiles must fit VMEM twice.
+SINGLE_TILE = 2048
+MAX_TILE = 1024
+
+
+def _pick_tile(K: int) -> int:
+    if K <= SINGLE_TILE:
+        return K
+    tile = MAX_TILE
+    while K % tile:
+        tile -= LANE
+    return tile
+
+
 @functools.partial(jax.jit, static_argnames=("layers", "T", "K",
                                              "negate_yaw_der", "dt",
                                              "interpret"))
@@ -141,19 +191,36 @@ def _dynamics_chain(layers: Tuple[int, ...], T: int, K: int,
                     scalars, s0, U, eps, *wb):
     n_layers = len(layers) - 1
     C = 2
+    tile = _pick_tile(K)
+    grid = (K // tile,)
     kernel = functools.partial(_rollout_kernel, n_layers, T,
                                negate_yaw_der, dt)
+
+    rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
     states, useq = pl.pallas_call(
         kernel,
+        grid=grid,
         out_shape=(
             jax.ShapeDtypeStruct((SPAD, T, K), jnp.float32),
             jax.ShapeDtypeStruct((C, T, K), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + 2 * n_layers),
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((SPAD, K), jnp.float32)],
+        + [
+            pl.BlockSpec((SPAD, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),       # s0
+            rep(T, C),                                   # U
+            pl.BlockSpec((T, C, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),       # eps
+        ]
+        + [rep(*w.shape) for w in wb],                   # weights/biases
+        out_specs=(
+            pl.BlockSpec((SPAD, T, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, T, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((SPAD, tile), jnp.float32)],
         interpret=interpret,
     )(scalars, s0, U, eps, *wb)
     return states, useq
@@ -221,3 +288,287 @@ def nominal_trajectory_pallas(model, model_params, cfg, state, U,
     rngs = jnp.reshape(model_params["control_rngs"], (-1, 2))[-C:]
     controls_sol = jnp.clip(U, rngs[:, 0], rngs[:, 1])
     return states_sol, controls_sol
+
+
+# ---------------------------------------------------------------------------
+# fused rollout + neural-field cost kernel
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
+                  T: int, negate_yaw_der: bool, l1_cost: bool, dt: float,
+                  scalars_ref, U_ref, eps_ref, *refs):
+    """Rollout + cost in one program (the full ``rolloutKernel``).
+
+    ``scalars_ref`` (SMEM, (32,)) packing (see ``fused_rollout_cost_pallas``):
+      [0:2]   nu0, nu1
+      [2:6]   lo0, hi0, lo1, hi1
+      [6:9]   opt_delay, pure_thresh (k_offset folded), k0_flag
+      [9:16]  s0 (7 state components)
+      [16:25] r_c1 (3), r_c2 (3), trs (3) map transform
+      [25:32] cost params: desired_speed, speed_coeff, track_coeff,
+              max_slip_ang, slip_penalty, track_slop, crash_coeff
+      ...continued in scalars2_ref
+    ``scalars2_ref`` is folded into scalars_ref tail: steering_coeff,
+    throttle_coeff, boundary_threshold, discount live at [32:36] of the
+    (40,)-long scalars vector.
+
+    refs: [W_dyn..., b_dyn..., W_field..., b_field..., freqs,
+           costs_out, crash_out, useq_out]
+    """
+    wd = refs[:2 * n_layers]
+    wf = refs[2 * n_layers:2 * (n_layers + n_field_layers)]
+    freqs_ref = refs[2 * (n_layers + n_field_layers)]
+    costs_out = refs[-3]
+    crash_out = refs[-2]
+    useq_out = refs[-1]
+
+    K = useq_out.shape[-1]
+    sc = scalars_ref
+    nu0, nu1 = sc[0], sc[1]
+    lo0, hi0, lo1, hi1 = sc[2], sc[3], sc[4], sc[5]
+    opt_delay, pure_thresh, k0_flag = sc[6], sc[7], sc[8]
+    rc1x, rc1y, rc1w = sc[16], sc[17], sc[18]
+    rc2x, rc2y, rc2w = sc[19], sc[20], sc[21]
+    trsx, trsy, trsw = sc[22], sc[23], sc[24]
+    desired_speed, speed_coeff, track_coeff = sc[25], sc[26], sc[27]
+    max_slip_ang, slip_penalty, track_slop, crash_coeff = (
+        sc[28], sc[29], sc[30], sc[31])
+    steering_coeff, throttle_coeff = sc[32], sc[33]
+    boundary_threshold, discount = sc[34], sc[35]
+
+    tile0 = (pl.program_id(0) * K).astype(jnp.float32)
+    k_idx = tile0 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, K), 1).astype(jnp.float32)
+    zero_rollout = (k_idx == 0.0) & (k0_flag > 0.5)
+    pure_noise = k_idx >= pure_thresh
+
+    s0 = jnp.concatenate(
+        [jnp.full((1, K), sc[9 + i]) for i in range(7)]
+        + [jnp.zeros((1, K), jnp.float32)], axis=0)           # (SPAD, K)
+
+    def field_eval(x, y):
+        """Neural track field at world (x, y) rows (1, L) -> (1, L).
+
+        Mirrors ``NeuralCostmap.lookup_ch0`` exactly (same block feature
+        order) so the same fitted weights drive both paths.  The Fourier
+        features are built as full-sublane (F, L) blocks — one broadcast
+        multiply + one trig op per block keeps the VPU dense (1-sublane
+        rows would cost 8x)."""
+        u = rc1x * x + rc2x * y + trsx
+        v = rc1y * x + rc2y * y + trsy
+        w = rc1w * x + rc2w * y + trsw
+        u = jnp.clip(u / w, 0.0, 1.0)
+        v = jnp.clip(v / w, 0.0, 1.0)
+        fcol = freqs_ref[:, :]                                # (F, 1)
+        ang_u = fcol * u                                      # (F, L)
+        ang_v = fcol * v
+        acts = jnp.concatenate(
+            [u, v, jnp.sin(ang_u), jnp.sin(ang_v),
+             jnp.cos(ang_u), jnp.cos(ang_v)], axis=0)         # (2+4F, L)
+        for i in range(n_field_layers):
+            Wt = wf[2 * i][:, :]                              # (out, in)
+            b = wf[2 * i + 1][:, :]                           # (out, 1)
+            # default precision: fit error dominates eval precision (see
+            # NeuralCostmap.lookup_ch0)
+            acts = jax.lax.dot_general(
+                Wt, acts, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b
+            if i < n_field_layers - 1:
+                acts = jnp.maximum(acts, 0.0)
+        return acts                                           # (1, L)
+
+    def step(t, carry):
+        s, running, crash = carry
+        frozen = zero_rollout | (t.astype(jnp.float32) < opt_delay)
+
+        eps_t = eps_ref[t]
+        du0 = eps_t[0:1, :] * nu0
+        du1 = eps_t[1:2, :] * nu1
+        U_t0 = U_ref[t, 0]
+        U_t1 = U_ref[t, 1]
+        u0 = jnp.where(frozen, U_t0, jnp.where(pure_noise, du0, U_t0 + du0))
+        u1 = jnp.where(frozen, U_t1, jnp.where(pure_noise, du1, U_t1 + du1))
+        useq_out[0, t, :] = u0[0]                             # pre-clamp
+        useq_out[1, t, :] = u1[0]
+        du0 = jnp.where(frozen, 0.0, du0)
+        du1 = jnp.where(frozen, 0.0, du1)
+        u0 = jnp.clip(u0, lo0, hi0)
+        u1 = jnp.clip(u1, lo1, hi1)
+
+        x = s[0:1, :]
+        y = s[1:2, :]
+        yaw = s[2:3, :]
+        roll = s[3:4, :]
+        ux = s[4:5, :]
+        uy = s[5:6, :]
+        yd = s[6:7, :]
+        cy = jnp.cos(yaw)
+        sy = jnp.sin(yaw)
+
+        # ---- cost of the current state (computeCost, costs.cu:396-409),
+        # only counted for t >= 1 via the running-average mask below ------
+        # track: field sampled at car front/back; both point sets batched
+        # along the lane axis -> one (1, 2K) field evaluation
+        px = jnp.concatenate([x + 0.5 * cy, x - 0.5 * cy], axis=1)
+        py = jnp.concatenate([y + 0.5 * sy, y - 0.5 * sy], axis=1)
+        fb = field_eval(px, py)                               # (1, 2K)
+        front = fb[:, :K]
+        back = fb[:, K:]
+        track = (jnp.abs(front) + jnp.abs(back)) * 0.5
+        track = jnp.where(jnp.abs(track) < track_slop, 0.0,
+                          track_coeff * track)
+        crash = jnp.maximum(crash, jnp.where(
+            (front >= boundary_threshold) | (back >= boundary_threshold),
+            1.0, 0.0))
+
+        err = ux - desired_speed
+        speed = speed_coeff * (jnp.abs(err) if l1_cost else err * err)
+
+        active = jnp.abs(ux) > 0.001
+        slip = -_atan(uy / jnp.where(active, jnp.abs(ux), 1.0))
+        stab = slip_penalty * slip * slip
+        stab = stab + jnp.where(jnp.abs(slip) > max_slip_ang,
+                                crash_coeff, 0.0)
+        stab = jnp.where(active, stab, 0.0)
+
+        control = (steering_coeff * du0 * (u0 - du0) / (nu0 * nu0)
+                   + throttle_coeff * du1 * (u1 - du1) / (nu1 * nu1))
+
+        crash_c = (1.0 - discount) * jnp.where(crash > 0.0, crash_coeff, 0.0)
+
+        c = control + speed + crash_c + track + stab
+        c = jnp.where((c > 1e12) | jnp.isnan(c), 1e12, c)
+        # running average (mppi_controller.cu:162-165); t=0 contributes 0
+        t_f = t.astype(jnp.float32)
+        running = jnp.where(
+            t > 0, running + (c - running) / jnp.maximum(t_f, 1.0), running)
+
+        # ---- dynamics + Euler --------------------------------------------
+        dx = cy * ux - sy * uy
+        dy_ = sy * ux + cy * uy
+        dyaw = -yd if negate_yaw_der else yd
+        acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
+        for i in range(n_layers):
+            W = wd[2 * i][:, :]
+            b = wd[2 * i + 1][:, :]
+            acts = jax.lax.dot_general(
+                W, acts, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + b
+            if i < n_layers - 1:
+                acts = jnp.tanh(acts)
+        deriv = jnp.concatenate(
+            [dx, dy_, dyaw, acts, jnp.zeros((SPAD - 7, K), jnp.float32)],
+            axis=0)
+        s = s + deriv * dt
+        # roll-over latch after the update (getCrash, costs.cu:301-305)
+        crash = jnp.maximum(crash, jnp.where(
+            jnp.abs(s[3:4, :]) > 1.57, 1.0, 0.0))
+        return (s, running, crash)
+
+    running0 = jnp.zeros((1, K), jnp.float32)
+    crash0 = jnp.zeros((1, K), jnp.float32)
+    s_fin, running, crash = jax.lax.fori_loop(
+        0, T, step, (s0, running0, crash0))
+    costs_out[0, :] = running[0]                              # + terminal 0
+    crash_out[0, :] = crash[0]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dyn_layers", "field_layers", "num_freqs", "T", "K", "negate_yaw_der",
+    "l1_cost", "dt", "interpret"))
+def _fused_rollout_cost(dyn_layers, field_layers, num_freqs, T, K,
+                        negate_yaw_der, l1_cost, dt, interpret,
+                        scalars, U, eps, *wb):
+    n_layers = len(dyn_layers) - 1
+    n_field = len(field_layers) - 1
+    C = 2
+    tile = _pick_tile(K)
+    grid = (K // tile,)
+    kernel = functools.partial(_fused_kernel, n_layers, n_field, num_freqs,
+                               T, negate_yaw_der, l1_cost, dt)
+    rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    costs, crash, useq = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+            jax.ShapeDtypeStruct((C, T, K), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [
+            rep(T, C),                                       # U
+            pl.BlockSpec((T, C, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),           # eps
+        ]
+        + [rep(*w.shape) for w in wb],
+        out_specs=(
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, T, tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(scalars, U, eps, *wb)
+    return costs, crash, useq
+
+
+def fused_rollout_cost_pallas(model, model_params, cfg, cost_params, field,
+                              state, U, eps, l1_cost=False, k_offset=0,
+                              interpret=False):
+    """Fully-fused rollout + cost for a :class:`NeuralCostmap` field.
+
+    Returns (total_costs (K,), u_seq (C, T, K), crash (K,)) — the
+    ``rollout_costs`` contract, computed in one kernel.
+    """
+    T, K, C = eps.shape
+    rngs = jnp.reshape(model_params["control_rngs"], (-1, 2))[-C:]
+    nu = jnp.asarray(cfg.exploration_std, dtype=jnp.float32)
+    k_offset = jnp.asarray(k_offset, dtype=jnp.float32)
+
+    sc = jnp.zeros((40,), dtype=jnp.float32)
+    sc = sc.at[0:2].set(nu)
+    sc = sc.at[2:6].set(jnp.stack([rngs[0, 0], rngs[0, 1],
+                                   rngs[1, 0], rngs[1, 1]]))
+    sc = sc.at[6].set(cfg.optimization_stride)
+    sc = sc.at[7].set(cfg.pure_noise_frac * cfg.num_rollouts - k_offset)
+    sc = sc.at[8].set(jnp.where(k_offset == 0, 1.0, 0.0))
+    sc = sc.at[9:16].set(state.astype(jnp.float32))
+    sc = sc.at[16:19].set(field.r_c1)
+    sc = sc.at[19:22].set(field.r_c2)
+    sc = sc.at[22:25].set(field.trs)
+    sc = sc.at[25].set(cost_params.desired_speed)
+    sc = sc.at[26].set(cost_params.speed_coeff)
+    sc = sc.at[27].set(cost_params.track_coeff)
+    sc = sc.at[28].set(cost_params.max_slip_ang)
+    sc = sc.at[29].set(cost_params.slip_penalty)
+    sc = sc.at[30].set(cost_params.track_slop)
+    sc = sc.at[31].set(cost_params.crash_coeff)
+    sc = sc.at[32].set(cost_params.steering_coeff)
+    sc = sc.at[33].set(cost_params.throttle_coeff)
+    sc = sc.at[34].set(cost_params.boundary_threshold)
+    sc = sc.at[35].set(cost_params.discount)
+
+    eps_t = jnp.transpose(eps, (0, 2, 1))
+
+    wb = []
+    for W, b in zip(model_params["weights"], model_params["biases"]):
+        wb.append(jnp.transpose(W))
+        wb.append(b[:, None])
+    field_layer_dims = [field.weights[0].shape[0]]
+    for W, b in zip(field.weights, field.biases):
+        wb.append(jnp.transpose(W).astype(jnp.float32))
+        wb.append(b[:, None].astype(jnp.float32))
+        field_layer_dims.append(W.shape[1])
+    num_freqs = int(field.freqs.shape[0])
+    wb.append(field.freqs[:, None])                           # (F, 1)
+
+    costs, crash, useq = _fused_rollout_cost(
+        tuple(model.layers), tuple(field_layer_dims), num_freqs, T, K,
+        model.negate_yaw_der, l1_cost, float(model.dt), interpret,
+        sc, U.astype(jnp.float32), eps_t, *wb)
+    return costs[0], useq, crash[0].astype(jnp.int32)

@@ -157,6 +157,21 @@ class MPPISolver:
         # sequential loop is latency-bound, so the less per step the better.
         # On TPU with an MLP model the chain runs as a fused Pallas kernel
         # (ops/rollout_kernel.py) with state/weights resident in VMEM.
+        from autorally_tpu.costs.neural_costmap import NeuralCostmap
+
+        if self.use_pallas_rollout and isinstance(costmap, NeuralCostmap):
+            # Neural-field costmap: the whole rolloutKernel (dynamics AND
+            # cost) fuses into one Pallas program — no gather, no state
+            # materialization (ops/rollout_kernel.py).  Assumes the default
+            # zero terminal cost (costs.cu:411-414).
+            from autorally_tpu.ops.rollout_kernel import (
+                fused_rollout_cost_pallas)
+
+            return fused_rollout_cost_pallas(
+                model, model_params, cfg, cost_params, costmap, state, U,
+                eps, l1_cost=cost.l1_cost, k_offset=k_offset,
+                interpret=self._pallas_interpret)
+
         if self.use_pallas_rollout:
             from autorally_tpu.ops.rollout_kernel import dynamics_chain_pallas
 

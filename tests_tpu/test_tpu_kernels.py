@@ -1,0 +1,117 @@
+"""TPU-hardware kernel parity tests (not part of the default CPU suite).
+
+Run on a real TPU: ``python -m pytest tests_tpu/ -q``.  These validate the
+Pallas kernels against the scan/XLA reference paths at operating scale.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() != "tpu":
+    pytest.skip("TPU-only tests", allow_module_level=True)
+
+from autorally_tpu.config import CostParams, MPPIConfig
+from autorally_tpu.costs import MPPICost
+from autorally_tpu.costs.costmap import make_costmap
+from autorally_tpu.costs.neural_costmap import fit_neural_costmap
+from autorally_tpu.models import NeuralNetDynamics
+from autorally_tpu.solver.mppi import MPPISolver
+from autorally_tpu.tools.track_generator import oval_track
+
+NN_NPZ = "/root/reference/autorally_control/src/path_integral/params/models/autorally_nnet_09_12_2018.npz"
+START = np.array([30.0, 0.0, 1.57, 0.0, 2.0, 0.0, 0.0], dtype=np.float32)
+
+
+def build(K=1920, T=100, pallas=None):
+    cfg = MPPIConfig(num_rollouts=K, num_timesteps=T,
+                     use_pallas_rollout=pallas)
+    data, xb, yb = oval_track(ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    return solver, params, CostParams(), cm, cfg
+
+
+def test_pallas_chain_matches_scan():
+    sp, params, cp, cm, cfg = build(pallas=True)
+    ss, *_ = build(pallas=False)
+    assert sp.use_pallas_rollout and not ss.use_pallas_rollout
+    eps = jax.random.normal(jax.random.PRNGKey(0), (100, 1920, 2),
+                            dtype=jnp.float32)
+    U = sp.init_state().U
+    Up, _ = jax.jit(lambda e: sp.iterate(params, cp, cm, START, U, e))(eps)
+    Us, _ = jax.jit(lambda e: ss.iterate(params, cp, cm, START, U, e))(eps)
+    np.testing.assert_allclose(np.asarray(Up), np.asarray(Us),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_gridded_kernel_large_K():
+    """K above the single-tile limit exercises the lane-axis grid."""
+    sp, params, cp, cm, cfg = build(K=8192, T=32, pallas=True)
+    ss, *_ = build(K=8192, T=32, pallas=False)
+    eps = jax.random.normal(jax.random.PRNGKey(1), (32, 8192, 2),
+                            dtype=jnp.float32)
+    U = sp.init_state().U
+    Up, stp = jax.jit(lambda e: sp.iterate(params, cp, cm, START, U, e))(eps)
+    Us, sts = jax.jit(lambda e: ss.iterate(params, cp, cm, START, U, e))(eps)
+    np.testing.assert_allclose(np.asarray(Up), np.asarray(Us),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(float(stp.baseline), float(sts.baseline),
+                               rtol=1e-4)
+
+
+def test_fused_neural_kernel_matches_twophase():
+    """Fused rollout+cost kernel vs two-phase evaluation of the same field."""
+    sp, params, cp, cm, cfg = build(pallas=True)
+    nc, metrics = fit_neural_costmap(cm, epochs=1500)
+    assert metrics["boundary_flip_rate"] < 0.05
+
+    class Proxy:  # duck-typed field that avoids the fused dispatch
+        def __init__(self, nc):
+            self.nc = nc
+
+        def lookup_ch0(self, x, y):
+            return self.nc.lookup_ch0(x, y)
+
+        def world_to_norm(self, x, y):
+            return self.nc.world_to_norm(x, y)
+
+    jax.tree_util.register_pytree_node(
+        Proxy, lambda p: ((p.nc,), None), lambda aux, c: Proxy(c[0]))
+
+    eps = jax.random.normal(jax.random.PRNGKey(2), (100, 1920, 2),
+                            dtype=jnp.float32)
+    U = sp.init_state().U
+    tot_f, useq_f, crash_f = jax.jit(
+        lambda e: sp.rollout_costs(params, cp, nc, START, U, e))(eps)
+    tot_2, useq_2, crash_2 = jax.jit(
+        lambda e: sp.rollout_costs(params, cp, Proxy(nc), START, U, e))(eps)
+    # Identical field, but Mosaic and XLA use different fast-matmul
+    # decompositions, so per-rollout costs drift ~1e-2 relative (plus
+    # rare threshold flips).  What must agree is the *decision level*:
+    # the softmax-weighted control update.
+    assert (crash_f == crash_2).mean() > 0.99
+    np.testing.assert_allclose(np.asarray(useq_f), np.asarray(useq_2),
+                               rtol=1e-5, atol=1e-6)
+
+    def update(total, useq):
+        w = jnp.exp(-0.15 * (total - jnp.min(total)))
+        return jnp.einsum("k,ctk->tc", w, useq) / jnp.sum(w)
+
+    U_f = np.asarray(update(tot_f, useq_f))
+    U_2 = np.asarray(update(tot_2, useq_2))
+    np.testing.assert_allclose(U_f, U_2, rtol=5e-3, atol=2e-2)
+
+
+def test_fused_solve_runs_and_matches_exact_closely():
+    sp, params, cp, cm, cfg = build(pallas=True)
+    nc, _ = fit_neural_costmap(cm, epochs=2000)
+    cs = sp.init_state()
+    cs_n, _ = sp.solve(params, cp, nc, START, cs)
+    cs_e, _ = sp.solve(params, cp, cm, START, cs)
+    assert np.isfinite(np.asarray(cs_n.U)).all()
+    assert np.abs(np.asarray(cs_n.U) - np.asarray(cs_e.U)).max() < 0.3
