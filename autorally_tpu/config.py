@@ -102,6 +102,10 @@ class MPPIConfig:
     # Fused Pallas rollout kernel: None = auto (TPU + MLP model + lane-
     # aligned K), True/False = force.  No semantic effect.
     use_pallas_rollout: bool = None
+    # Exploration noise: 'gaussian' (reference protocol), 'colored'
+    # (1/f^beta, noise_param = beta), or 'ou' (AR(1), noise_param = theta).
+    noise_sampler: str = "gaussian"
+    noise_param: float = 1.0
 
     @property
     def dt(self) -> float:

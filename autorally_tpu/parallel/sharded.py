@@ -74,8 +74,7 @@ class ShardedMPPISolver(MPPISolver):
         def body(model_params, cost_params, costmap, state, U, key):
             idx = lax.axis_index(axis)
             shard_key = jax.random.fold_in(key, idx)
-            eps = jax.random.normal(shard_key, (T, K_local, C),
-                                    dtype=jnp.float32)
+            eps = self._sample_noise(shard_key, (T, K_local, C))
             total, u_seq, crash = self.rollout_costs(
                 model_params, cost_params, costmap, state, U, eps,
                 k_offset=idx * K_local)

@@ -56,6 +56,19 @@ def run_control_loop(predicted: Controller, actual: Controller,
     stride_default = cfg.optimization_stride
     period = stride_default / cfg.hz
 
+    # realtime pacing: prefer the native absolute-deadline pacer
+    # (clock_nanosleep) over time.sleep — replaces the reference's 50 us
+    # usleep polling (run_control_loop.cuh:304-312)
+    pacer = None
+    if cfg.realtime:
+        try:
+            from autorally_tpu.runtime.native import Pacer, native_available
+
+            if native_available():
+                pacer = Pacer(period)
+        except Exception:
+            pacer = None
+
     # -- initialization (run_control_loop.cuh:146-155) -----------------------
     state = plant.get_state().to_vector()
     actual.set_state(state)
@@ -129,6 +142,10 @@ def run_control_loop(predicted: Controller, actual: Controller,
         if not cfg.realtime and isinstance(plant, SyntheticPlant):
             plant.step_sim(stride_default)       # lockstep sim advance
             last_sleep = 0.0
+        elif pacer is not None:
+            t_sleep = time.perf_counter()
+            pacer.wait()
+            last_sleep = time.perf_counter() - t_sleep
         else:
             remaining = period - tick_s
             last_sleep = max(0.0, remaining)

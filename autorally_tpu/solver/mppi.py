@@ -82,6 +82,8 @@ class MPPISolver:
         self.init_u = jnp.asarray(cfg.init_u, dtype=jnp.float32)
         self.use_pallas_rollout = self._decide_pallas()
         self._pallas_interpret = False
+        from autorally_tpu.ops.sampling import make_sampler
+        self._sample_noise = make_sampler(cfg.noise_sampler, cfg.noise_param)
         self._solve_jit = jax.jit(self._solve)
         self._slide_jit = jax.jit(self._slide)
 
@@ -295,7 +297,7 @@ class MPPISolver:
         stats = None
         for _ in range(cfg.num_iters):                         # static, usually 1
             key, sub = jax.random.split(key)
-            eps = jax.random.normal(sub, (T, K, C), dtype=jnp.float32)
+            eps = self._sample_noise(sub, (T, K, C))
             U, stats = self.iterate(model_params, cost_params, costmap,
                                     state, U, eps)
 
