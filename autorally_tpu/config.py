@@ -106,6 +106,12 @@ class MPPIConfig:
     # (1/f^beta, noise_param = beta), or 'ou' (AR(1), noise_param = theta).
     noise_sampler: str = "gaussian"
     noise_param: float = 1.0
+    # Generate noise inside the fused Pallas kernel (Box-Muller from the
+    # Mosaic PRNG) with a two-pass weighted update: HBM traffic becomes
+    # O(K), independent of K*T.  Requires TPU + MLP model + NeuralCostmap
+    # + gaussian sampler.  Different (equally valid) noise stream than the
+    # jax.random path.
+    kernel_rng: bool = False
 
     @property
     def dt(self) -> float:

@@ -572,3 +572,337 @@ def fused_rollout_cost_pallas(model, model_params, cfg, cost_params, field,
         model.negate_yaw_der, l1_cost, float(model.dt), interpret,
         sc, U.astype(jnp.float32), eps_t, *wb)
     return costs[0], useq, crash[0].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel RNG (two-pass, nothing-in-HBM large-K mode)
+# ---------------------------------------------------------------------------
+
+def _kernel_normals(shape):
+    """Standard normals from the Mosaic per-core PRNG via Box-Muller.
+
+    Replaces the host-side jax.random draw: at K=262144 the (T, K, C)
+    noise array is ~200 MB of HBM traffic per solve; generating in-kernel
+    makes noise free.  23-bit uniforms (top bits of the raw stream),
+    guarded away from log(0).
+    """
+    def bits():
+        raw = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        sh = jax.lax.shift_right_logical(raw, jnp.uint32(9))
+        return pltpu.bitcast(sh, jnp.int32).astype(jnp.float32) * (
+            1.0 / (1 << 23))
+
+    u1 = bits() + 1e-7
+    u2 = bits()
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(2.0 * jnp.pi * u2)
+
+
+def _fused_rng_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
+                      T: int, negate_yaw_der: bool, l1_cost: bool, dt: float,
+                      scalars_ref, seed_ref, U_ref, *refs):
+    """Pass 1 of the RNG mode: identical to ``_fused_kernel`` but noise is
+    generated in-kernel (seeded per grid cell) and ONLY costs/crash are
+    emitted — no eps input, no u_seq output, nothing per-(t,k) in HBM."""
+    wd = refs[:2 * n_layers]
+    wf = refs[2 * n_layers:2 * (n_layers + n_field_layers)]
+    freqs_ref = refs[2 * (n_layers + n_field_layers)]
+    costs_out = refs[-2]
+    crash_out = refs[-1]
+
+    K = costs_out.shape[-1]
+    sc = scalars_ref
+    nu0, nu1 = sc[0], sc[1]
+    lo0, hi0, lo1, hi1 = sc[2], sc[3], sc[4], sc[5]
+    opt_delay, pure_thresh, k0_flag = sc[6], sc[7], sc[8]
+    rc1x, rc1y, rc1w = sc[16], sc[17], sc[18]
+    rc2x, rc2y, rc2w = sc[19], sc[20], sc[21]
+    trsx, trsy, trsw = sc[22], sc[23], sc[24]
+    desired_speed, speed_coeff, track_coeff = sc[25], sc[26], sc[27]
+    max_slip_ang, slip_penalty, track_slop, crash_coeff = (
+        sc[28], sc[29], sc[30], sc[31])
+    steering_coeff, throttle_coeff = sc[32], sc[33]
+    boundary_threshold, discount = sc[34], sc[35]
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    tile0 = (pl.program_id(0) * K).astype(jnp.float32)
+    k_idx = tile0 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, K), 1).astype(jnp.float32)
+    zero_rollout = (k_idx == 0.0) & (k0_flag > 0.5)
+    pure_noise = k_idx >= pure_thresh
+
+    s0 = jnp.concatenate(
+        [jnp.full((1, K), sc[9 + i]) for i in range(7)]
+        + [jnp.zeros((1, K), jnp.float32)], axis=0)
+
+    def field_eval(x, y):
+        u = rc1x * x + rc2x * y + trsx
+        v = rc1y * x + rc2y * y + trsy
+        w = rc1w * x + rc2w * y + trsw
+        u = jnp.clip(u / w, 0.0, 1.0)
+        v = jnp.clip(v / w, 0.0, 1.0)
+        fcol = freqs_ref[:, :]
+        ang_u = fcol * u
+        ang_v = fcol * v
+        acts = jnp.concatenate(
+            [u, v, jnp.sin(ang_u), jnp.sin(ang_v),
+             jnp.cos(ang_u), jnp.cos(ang_v)], axis=0)
+        for i in range(n_field_layers):
+            Wt = wf[2 * i][:, :]
+            b = wf[2 * i + 1][:, :]
+            acts = jax.lax.dot_general(
+                Wt, acts, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b
+            if i < n_field_layers - 1:
+                acts = jnp.maximum(acts, 0.0)
+        return acts
+
+    def step(t, carry):
+        s, running, crash = carry
+        frozen = zero_rollout | (t.astype(jnp.float32) < opt_delay)
+
+        eps_t = _kernel_normals((2, K))          # one draw per step
+        du0 = eps_t[0:1, :] * nu0
+        du1 = eps_t[1:2, :] * nu1
+        U_t0 = U_ref[t, 0]
+        U_t1 = U_ref[t, 1]
+        u0 = jnp.where(frozen, U_t0, jnp.where(pure_noise, du0, U_t0 + du0))
+        u1 = jnp.where(frozen, U_t1, jnp.where(pure_noise, du1, U_t1 + du1))
+        du0 = jnp.where(frozen, 0.0, du0)
+        du1 = jnp.where(frozen, 0.0, du1)
+        u0 = jnp.clip(u0, lo0, hi0)
+        u1 = jnp.clip(u1, lo1, hi1)
+
+        x = s[0:1, :]
+        y = s[1:2, :]
+        yaw = s[2:3, :]
+        ux = s[4:5, :]
+        uy = s[5:6, :]
+        yd = s[6:7, :]
+        cy = jnp.cos(yaw)
+        sy = jnp.sin(yaw)
+
+        px = jnp.concatenate([x + 0.5 * cy, x - 0.5 * cy], axis=1)
+        py = jnp.concatenate([y + 0.5 * sy, y - 0.5 * sy], axis=1)
+        fb = field_eval(px, py)
+        front = fb[:, :K]
+        back = fb[:, K:]
+        track = (jnp.abs(front) + jnp.abs(back)) * 0.5
+        track = jnp.where(jnp.abs(track) < track_slop, 0.0,
+                          track_coeff * track)
+        crash = jnp.maximum(crash, jnp.where(
+            (front >= boundary_threshold) | (back >= boundary_threshold),
+            1.0, 0.0))
+
+        err = ux - desired_speed
+        speed = speed_coeff * (jnp.abs(err) if l1_cost else err * err)
+
+        active = jnp.abs(ux) > 0.001
+        slip = -_atan(uy / jnp.where(active, jnp.abs(ux), 1.0))
+        stab = slip_penalty * slip * slip
+        stab = stab + jnp.where(jnp.abs(slip) > max_slip_ang,
+                                crash_coeff, 0.0)
+        stab = jnp.where(active, stab, 0.0)
+
+        control = (steering_coeff * du0 * (u0 - du0) / (nu0 * nu0)
+                   + throttle_coeff * du1 * (u1 - du1) / (nu1 * nu1))
+        crash_c = (1.0 - discount) * jnp.where(crash > 0.0, crash_coeff, 0.0)
+
+        c = control + speed + crash_c + track + stab
+        c = jnp.where((c > 1e12) | jnp.isnan(c), 1e12, c)
+        t_f = t.astype(jnp.float32)
+        running = jnp.where(
+            t > 0, running + (c - running) / jnp.maximum(t_f, 1.0), running)
+
+        dx = cy * ux - sy * uy
+        dy_ = sy * ux + cy * uy
+        dyaw = -yd if negate_yaw_der else yd
+        acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
+        for i in range(n_layers):
+            W = wd[2 * i][:, :]
+            b = wd[2 * i + 1][:, :]
+            acts = jax.lax.dot_general(
+                W, acts, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + b
+            if i < n_layers - 1:
+                acts = jnp.tanh(acts)
+        deriv = jnp.concatenate(
+            [dx, dy_, dyaw, acts, jnp.zeros((SPAD - 7, K), jnp.float32)],
+            axis=0)
+        s = s + deriv * dt
+        crash = jnp.maximum(crash, jnp.where(
+            jnp.abs(s[3:4, :]) > 1.57, 1.0, 0.0))
+        return (s, running, crash)
+
+    running0 = jnp.zeros((1, K), jnp.float32)
+    crash0 = jnp.zeros((1, K), jnp.float32)
+    _, running, crash = jax.lax.fori_loop(0, T, step, (s0, running0, crash0))
+    costs_out[0, :] = running[0]
+    crash_out[0, :] = crash[0]
+
+
+def _weighted_update_kernel(T: int, scalars_ref, seed_ref, U_ref, w_ref,
+                            numer_out):
+    """Pass 2 of the RNG mode: regenerate the identical noise stream (same
+    seed + grid cell, same draw order as pass 1) and accumulate the
+    importance-weighted control numerator sum_k w_k u_{k,t,c} for this
+    tile.  Controls are pre-clamp, matching the reference's du_d store
+    (mppi_controller.cu:153)."""
+    K = w_ref.shape[-1]
+    sc = scalars_ref
+    nu0, nu1 = sc[0], sc[1]
+    opt_delay, pure_thresh, k0_flag = sc[6], sc[7], sc[8]
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    tile0 = (pl.program_id(0) * K).astype(jnp.float32)
+    k_idx = tile0 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, K), 1).astype(jnp.float32)
+    zero_rollout = (k_idx == 0.0) & (k0_flag > 0.5)
+    pure_noise = k_idx >= pure_thresh
+    w = w_ref[0:1, :]
+
+    def step(t, _):
+        frozen = zero_rollout | (t.astype(jnp.float32) < opt_delay)
+        eps_t = _kernel_normals((2, K))          # same draw order as pass 1
+        du0 = eps_t[0:1, :] * nu0
+        du1 = eps_t[1:2, :] * nu1
+        U_t0 = U_ref[t, 0]
+        U_t1 = U_ref[t, 1]
+        u0 = jnp.where(frozen, U_t0, jnp.where(pure_noise, du0, U_t0 + du0))
+        u1 = jnp.where(frozen, U_t1, jnp.where(pure_noise, du1, U_t1 + du1))
+        numer_out[0, 0, t] = jnp.sum(w * u0)
+        numer_out[0, 1, t] = jnp.sum(w * u1)
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dyn_layers", "field_layers", "num_freqs", "T", "K", "negate_yaw_der",
+    "l1_cost", "dt", "interpret"))
+def _fused_rng_pass1(dyn_layers, field_layers, num_freqs, T, K,
+                     negate_yaw_der, l1_cost, dt, interpret,
+                     scalars, seed, U, *wb):
+    n_layers = len(dyn_layers) - 1
+    n_field = len(field_layers) - 1
+    tile = _pick_tile(K)
+    grid = (K // tile,)
+    kernel = functools.partial(_fused_rng_kernel, n_layers, n_field,
+                               num_freqs, T, negate_yaw_der, l1_cost, dt)
+    rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    costs, crash = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+            jax.ShapeDtypeStruct((1, K), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [rep(T, 2)] + [rep(*w.shape) for w in wb],
+        out_specs=(
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(scalars, seed, U, *wb)
+    return costs, crash
+
+
+@functools.partial(jax.jit, static_argnames=("T", "K", "interpret"))
+def _fused_rng_pass2(T, K, interpret, scalars, seed, U, w):
+    tile = _pick_tile(K)
+    grid = (K // tile,)
+    G = K // tile
+    kernel = functools.partial(_weighted_update_kernel, T)
+    partials = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((G, 2, T), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((T, 2), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, T), lambda i: (i, 0, 0),
+                               memory_space=pltpu.SMEM),
+        interpret=interpret,
+    )(scalars, seed, U, w)
+    return jnp.sum(partials, axis=0)                      # (2, T)
+
+
+def fused_rng_solve_iteration(model, model_params, cfg, cost_params, field,
+                              state, U, key, l1_cost=False, k_offset=0,
+                              interpret=False):
+    """One full MPPI iteration in nothing-in-HBM mode: pass 1 computes
+    rollout costs with in-kernel noise; the softmax weights are computed
+    in XLA; pass 2 regenerates the same noise and contracts it with the
+    weights.  HBM traffic per iteration is O(K + T*C), independent of
+    K*T.  Returns (U_new (T, C), total_costs (K,), crash (K,))."""
+    T = U.shape[0]
+    K = cfg.num_rollouts
+    rngs = jnp.reshape(model_params["control_rngs"], (-1, 2))[-2:]
+    nu = jnp.asarray(cfg.exploration_std, dtype=jnp.float32)
+    k_offset = jnp.asarray(k_offset, dtype=jnp.float32)
+
+    sc = jnp.zeros((40,), dtype=jnp.float32)
+    sc = sc.at[0:2].set(nu)
+    sc = sc.at[2:6].set(jnp.stack([rngs[0, 0], rngs[0, 1],
+                                   rngs[1, 0], rngs[1, 1]]))
+    sc = sc.at[6].set(cfg.optimization_stride)
+    sc = sc.at[7].set(cfg.pure_noise_frac * cfg.num_rollouts - k_offset)
+    sc = sc.at[8].set(jnp.where(k_offset == 0, 1.0, 0.0))
+    sc = sc.at[9:16].set(state.astype(jnp.float32))
+    sc = sc.at[16:19].set(field.r_c1)
+    sc = sc.at[19:22].set(field.r_c2)
+    sc = sc.at[22:25].set(field.trs)
+    sc = sc.at[25].set(cost_params.desired_speed)
+    sc = sc.at[26].set(cost_params.speed_coeff)
+    sc = sc.at[27].set(cost_params.track_coeff)
+    sc = sc.at[28].set(cost_params.max_slip_ang)
+    sc = sc.at[29].set(cost_params.slip_penalty)
+    sc = sc.at[30].set(cost_params.track_slop)
+    sc = sc.at[31].set(cost_params.crash_coeff)
+    sc = sc.at[32].set(cost_params.steering_coeff)
+    sc = sc.at[33].set(cost_params.throttle_coeff)
+    sc = sc.at[34].set(cost_params.boundary_threshold)
+    sc = sc.at[35].set(cost_params.discount)
+
+    # deterministic seed from the jax key (plus a large odd stride per
+    # iteration is the caller's job via key folding)
+    seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
+    seed = jnp.stack([seed, seed]).astype(jnp.int32)
+
+    wb = []
+    for W, b in zip(model_params["weights"], model_params["biases"]):
+        wb.append(jnp.transpose(W))
+        wb.append(b[:, None])
+    field_layer_dims = [field.weights[0].shape[0]]
+    for W, b in zip(field.weights, field.biases):
+        wb.append(jnp.transpose(W).astype(jnp.float32))
+        wb.append(b[:, None].astype(jnp.float32))
+        field_layer_dims.append(W.shape[1])
+    num_freqs = int(field.freqs.shape[0])
+    wb.append(field.freqs[:, None])
+
+    costs, crash = _fused_rng_pass1(
+        tuple(model.layers), tuple(field_layer_dims), num_freqs, T, K,
+        model.negate_yaw_der, l1_cost, float(model.dt), interpret,
+        sc, seed, U.astype(jnp.float32), *wb)
+    total = costs[0]
+
+    baseline = jnp.min(total)
+    w = jnp.exp(-cfg.gamma * (total - baseline))
+    eta = jnp.sum(w)
+
+    numer = _fused_rng_pass2(T, K, interpret, sc, seed,
+                             U.astype(jnp.float32), w[None, :])
+    U_new = (numer / eta).T                              # (T, C)
+    return U_new, total, crash[0].astype(jnp.int32)

@@ -1,4 +1,5 @@
-"""Real-time runtime: controller, plants, control loop, telemetry."""
+"""Real-time runtime: controller, plants, control loop, vehicle I/O,
+telemetry, diagnostics, profiling."""
 
 from autorally_tpu.runtime.controller import Controller
 from autorally_tpu.runtime.plant import (BasePlant, FullState, SyntheticPlant,
@@ -6,9 +7,15 @@ from autorally_tpu.runtime.plant import (BasePlant, FullState, SyntheticPlant,
 from autorally_tpu.runtime.control_loop import ControlLoopConfig, run_control_loop
 from autorally_tpu.runtime.telemetry import (LapStats, StatusMonitor,
                                              TimingStats)
+from autorally_tpu.runtime.diagnostics import Diagnostics, DiagnosticsAggregator
+from autorally_tpu.runtime.wheel_odometry import WheelOdometry
+from autorally_tpu.runtime.state_estimator import ErrorStateEKF
+from autorally_tpu.runtime.profiling import SolveTimer, device_trace
 
 __all__ = [
     "Controller", "BasePlant", "FullState", "SyntheticPlant", "ReplayPlant",
     "ControlLoopConfig", "run_control_loop",
     "LapStats", "StatusMonitor", "TimingStats",
+    "Diagnostics", "DiagnosticsAggregator", "WheelOdometry",
+    "ErrorStateEKF", "SolveTimer", "device_trace",
 ]

@@ -286,6 +286,13 @@ class MPPISolver:
     # full solve: iterations + smoothing + nominal trajectory
     # ------------------------------------------------------------------
 
+    def _use_kernel_rng(self, costmap) -> bool:
+        from autorally_tpu.costs.neural_costmap import NeuralCostmap
+
+        return (self.cfg.kernel_rng and self.use_pallas_rollout
+                and self.cfg.noise_sampler == "gaussian"
+                and isinstance(costmap, NeuralCostmap))
+
     def _solve(self, model_params, cost_params: CostParams, costmap: Costmap,
                state: jnp.ndarray, cs: ControllerState
                ) -> Tuple[ControllerState, SolveStats]:
@@ -295,6 +302,35 @@ class MPPISolver:
         U = cs.U
         key = cs.key
         stats = None
+        if self._use_kernel_rng(costmap):
+            # nothing-in-HBM mode: in-kernel noise + two-pass update
+            # (single-chip path; the sharded solver uses per-shard
+            # jax.random streams)
+            from autorally_tpu.ops.rollout_kernel import (
+                fused_rng_solve_iteration)
+
+            for _ in range(cfg.num_iters):
+                key, sub = jax.random.split(key)
+                U, total, crash = fused_rng_solve_iteration(
+                    self.model, model_params, cfg, cost_params, costmap,
+                    state.astype(jnp.float32), U, sub,
+                    l1_cost=self.cost.l1_cost,
+                    interpret=self._pallas_interpret)
+                baseline = jnp.min(total)
+                w = jnp.exp(-cfg.gamma * (total - baseline))
+                eta = jnp.sum(w)
+                stats = SolveStats(
+                    baseline=baseline, normalizer=eta,
+                    trajectory_cost=jnp.sum(w * w) / eta,
+                    ess=(eta * eta) / jnp.sum(w * w),
+                    mean_cost=jnp.mean(total),
+                    crash_frac=jnp.mean(crash.astype(jnp.float32)))
+            U = savitzky_golay(U, cs.control_hist)
+            states_sol, controls_sol = self.nominal_trajectory(
+                model_params, state, U)
+            return cs._replace(U=U, state_solution=states_sol,
+                               control_solution=controls_sol, key=key), stats
+
         for _ in range(cfg.num_iters):                         # static, usually 1
             key, sub = jax.random.split(key)
             eps = self._sample_noise(sub, (T, K, C))

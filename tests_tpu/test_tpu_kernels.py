@@ -107,6 +107,29 @@ def test_fused_neural_kernel_matches_twophase():
     np.testing.assert_allclose(U_f, U_2, rtol=5e-3, atol=2e-2)
 
 
+def test_kernel_rng_mode_matches_host_noise_statistically():
+    """In-kernel Box-Muller + two-pass update: different (equally valid)
+    noise stream, so compare at the decision level vs the host-noise
+    fused path, plus determinism for a fixed key."""
+    cfg = MPPIConfig(num_rollouts=1920, num_timesteps=100, kernel_rng=True)
+    sp, params, cp, cm, _ = build(pallas=True)
+    sp_rng = MPPISolver(sp.model, sp.cost, cfg)
+    nc, _ = fit_neural_costmap(cm, epochs=1500)
+    cs = sp_rng.init_state()
+
+    a, sa = sp_rng.solve(params, cp, nc, START, cs)
+    b, sb = sp.solve(params, cp, nc, START, cs)
+    assert np.isfinite(np.asarray(a.U)).all()
+    # same scenario, different streams: plans agree loosely, stats same scale
+    assert np.abs(np.asarray(a.U) - np.asarray(b.U)).max() < 0.15
+    assert 0.2 < float(sa.ess) / float(sb.ess) < 5.0
+    assert abs(float(sa.crash_frac) - float(sb.crash_frac)) < 0.05
+
+    # deterministic given the key
+    a2, _ = sp_rng.solve(params, cp, nc, START, cs)
+    np.testing.assert_array_equal(np.asarray(a.U), np.asarray(a2.U))
+
+
 def test_fused_solve_runs_and_matches_exact_closely():
     sp, params, cp, cm, cfg = build(pallas=True)
     nc, _ = fit_neural_costmap(cm, epochs=2000)
