@@ -1,0 +1,113 @@
+"""Fully-jitted closed-loop episode runner — simulation at device speed.
+
+The reference evaluates its controller by closing the loop through Gazebo
+over ROS at wall-clock rates; its ``debug_mode`` self-propagates the state
+inside the controller binary instead (``run_control_loop.cuh:296-302``).
+This module is the TPU-native version of that idea taken to its limit: the
+*entire episode* — receding-horizon slide, both tube-MPPI solves, the
+trajectory-cost arbitration with predicted-controller resync, and the
+plant integration under a (possibly different) true model — is one
+``lax.scan`` inside one jitted program.  No host round-trips per tick, so
+thousands of control ticks evaluate in seconds; per-tick telemetry comes
+back as arrays at the end.
+
+Use for: lap-time benchmarking, controller regression evaluation,
+hyperparameter sweeps, and model-mismatch studies (``params_true`` need
+not equal ``params_ctrl``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from autorally_tpu.config import CostParams
+from autorally_tpu.models.base import Dynamics
+from autorally_tpu.solver.mppi import ControllerState, MPPISolver
+
+
+class EpisodeResult(NamedTuple):
+    states: jnp.ndarray           # (n_ticks, S) true plant states
+    controls: jnp.ndarray         # (n_ticks, C) executed controls
+    used_actual: jnp.ndarray      # (n_ticks,) bool: actual-state ctrl won
+    trajectory_cost: jnp.ndarray  # (n_ticks,)
+    ess: jnp.ndarray              # (n_ticks,)
+    crash_frac: jnp.ndarray       # (n_ticks,)
+
+
+class EpisodeRunner:
+    """Tube-MPPI closed loop against a simulated plant, fully on-device."""
+
+    def __init__(self, solver: MPPISolver, true_model: Optional[Dynamics]
+                 = None, n_ticks: int = 1000):
+        self.solver = solver
+        self.true_model = true_model or solver.model
+        self.n_ticks = int(n_ticks)
+        self._run = jax.jit(self._episode)
+
+    def _episode(self, params_ctrl, params_true, cost_params: CostParams,
+                 costmap, state0, cs_a: ControllerState,
+                 cs_p: ControllerState) -> EpisodeResult:
+        solver = self.solver
+        cfg = solver.cfg
+        stride = cfg.optimization_stride
+
+        def tick(carry, _):
+            cs_a, cs_p, state = carry
+            # receding-horizon slide (run_control_loop.cuh:206-215)
+            cs_a = solver._slide(cs_a, jnp.int32(stride))
+            cs_p = solver._slide(cs_p, jnp.int32(stride))
+            # actual-state and predicted-state solves (:218-219)
+            cs_a, st_a = solver._solve(params_ctrl, cost_params, costmap,
+                                       state, cs_a)
+            cs_p, st_p = solver._solve(params_ctrl, cost_params, costmap,
+                                       cs_p.state_solution[0], cs_p)
+            # arbitration by computed trajectory cost (:246-286)
+            use_actual = st_a.trajectory_cost < st_p.trajectory_cost
+            pick = lambda a, p: jnp.where(use_actual, a, p)
+            chosen_ctrl = pick(cs_a.control_solution, cs_p.control_solution)
+            chosen_states = pick(cs_a.state_solution, cs_p.state_solution)
+            # resync predicted controller when actual wins (:263-266)
+            cs_p = cs_p._replace(
+                state_solution=pick(cs_a.state_solution, cs_p.state_solution),
+                control_solution=chosen_ctrl,
+                U=pick(cs_a.U, cs_p.U))
+
+            # debug-mode plant propagation under the TRUE model (:296-302)
+            def sim_step(s, t):
+                s_next, _ = self.true_model.update_state(
+                    params_true, s, chosen_ctrl[t])
+                return s_next, None
+
+            state, _ = lax.scan(sim_step, state, jnp.arange(stride))
+
+            out = (state, chosen_ctrl[0], use_actual,
+                   pick(st_a.trajectory_cost, st_p.trajectory_cost),
+                   pick(st_a.ess, st_p.ess),
+                   pick(st_a.crash_frac, st_p.crash_frac))
+            return (cs_a, cs_p, state), out
+
+        (_, _, _), outs = lax.scan(
+            tick, (cs_a, cs_p, state0.astype(jnp.float32)), None,
+            length=self.n_ticks)
+        return EpisodeResult(*outs)
+
+    def run(self, params_ctrl, cost_params, costmap, state0,
+            params_true=None, seed_a: int = 0, seed_p: int = 1
+            ) -> EpisodeResult:
+        """Run the episode; returns per-tick telemetry arrays."""
+        cs_a = self.solver.init_state(seed_a)
+        cs_p = self.solver.init_state(seed_p)
+        cs_a = cs_a._replace(state_solution=cs_a.state_solution.at[0].set(
+            jnp.asarray(state0, dtype=jnp.float32)))
+        cs_p = cs_p._replace(state_solution=cs_p.state_solution.at[0].set(
+            jnp.asarray(state0, dtype=jnp.float32)))
+        return self._run(params_ctrl,
+                         params_true if params_true is not None
+                         else params_ctrl,
+                         cost_params, costmap,
+                         jnp.asarray(state0, dtype=jnp.float32), cs_a, cs_p)

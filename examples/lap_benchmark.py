@@ -1,0 +1,92 @@
+"""Lap-time benchmark: device-speed closed-loop laps around the oval.
+
+The reference's quantitative evaluation is ``lap_stats.py`` — lap time,
+max speed, max slip per lap of the real/Gazebo car.  Here the whole
+tube-MPPI closed loop (dual controllers, arbitration, plant propagation)
+runs on-device via the fused :class:`EpisodeRunner`, so multi-lap
+episodes evaluate in seconds, then the same start-line-crossing lap
+detector scores the trajectory.
+
+    python examples/lap_benchmark.py [--ticks 4000] [--rollouts 1920] [--cpu]
+"""
+
+import argparse
+import math
+import time
+
+import numpy as np
+
+MODEL_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
+             "models/autorally_nnet_09_12_2018.npz")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ticks", type=int, default=4000)
+    ap.add_argument("--rollouts", type=int, default=1920)
+    ap.add_argument("--timesteps", type=int, default=100)
+    ap.add_argument("--desired-speed", type=float, default=6.0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    from autorally_tpu.config import CostParams, MPPIConfig
+    from autorally_tpu.costs import MPPICost
+    from autorally_tpu.costs.costmap import make_costmap
+    from autorally_tpu.models import NeuralNetDynamics
+    from autorally_tpu.runtime.episode import EpisodeRunner
+    from autorally_tpu.runtime.telemetry import LapStats
+    from autorally_tpu.solver.mppi import MPPISolver
+    from autorally_tpu.tools.track_generator import oval_track
+
+    cfg = MPPIConfig(num_rollouts=args.rollouts,
+                     num_timesteps=args.timesteps)
+    data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
+                              track_width=6.0, ppm=10.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(MODEL_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    runner = EpisodeRunner(solver, n_ticks=args.ticks)
+
+    start = np.array([30.0, 0.0, math.pi / 2, 0, 0, 0, 0], dtype=np.float32)
+    cost_params = CostParams(desired_speed=args.desired_speed)
+
+    t0 = time.time()
+    res = runner.run(params, cost_params, cm, start)
+    jax.block_until_ready(res)
+    wall = time.time() - t0
+    sim_s = args.ticks * cfg.dt
+    print(f"{args.ticks} control ticks ({sim_s:.0f} sim-seconds) in "
+          f"{wall:.1f}s wall — {args.ticks/wall:.0f} closed-loop ticks/s "
+          f"({sim_s/wall:.1f}x realtime)")
+
+    states = np.asarray(res.states)
+    # start line: crossing the +x axis on the right side of the oval
+    laps = LapStats(line=(0.0, 0.0, 25.0, 35.0))
+    for i, s in enumerate(states):
+        rec = laps.process_pose(i * cfg.dt, s[0], s[1], s[4], s[5])
+        if rec:
+            print(f"  crossing {rec.lap_number}: segment {rec.lap_time:.2f}s "
+                  f"max_speed={rec.max_speed:.2f} m/s "
+                  f"max_slip={rec.max_slip:.3f} rad")
+    # a 'lap' = two crossings of the start line (out and back)
+    segs = [r.lap_time for r in laps.laps]
+    full_laps = [segs[i] + segs[i + 1] for i in range(0, len(segs) - 1, 2)]
+    if full_laps:
+        print(f"LAPS: {len(full_laps)}  times: "
+              f"{['%.2fs' % t for t in full_laps]}")
+    print(f"speed: mean {states[200:, 4].mean():.2f} "
+          f"max {states[:, 4].max():.2f} m/s (desired {args.desired_speed})")
+    print(f"controller usage: actual {int(np.asarray(res.used_actual).sum())}"
+          f" / predicted {args.ticks - int(np.asarray(res.used_actual).sum())}")
+    print(f"mean ESS {float(np.asarray(res.ess).mean()):.0f}  "
+          f"mean crash% {100*float(np.asarray(res.crash_frac).mean()):.1f}")
+
+
+if __name__ == "__main__":
+    main()
