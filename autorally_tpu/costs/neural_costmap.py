@@ -22,7 +22,7 @@ used by ``MPPICost.track_cost_c``) and ``world_to_norm``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

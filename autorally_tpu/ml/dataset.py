@@ -17,7 +17,7 @@ the same columns, which is the reference's own intermediate format
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 

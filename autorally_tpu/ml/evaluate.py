@@ -12,7 +12,7 @@ reference's per-batch Python loop.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ per-output loss weights [1, 1, 1, 0.5].
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

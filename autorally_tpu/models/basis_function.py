@@ -16,8 +16,6 @@ model is also differentiable for the DDP feedback-gain solver.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@ matmuls on its K/M block.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

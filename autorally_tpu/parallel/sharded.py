@@ -20,7 +20,6 @@ adding chips with near-linear scaling (the collectives are O(T*C)).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -25,8 +25,6 @@ import dataclasses
 import time
 from typing import Callable, Optional
 
-import numpy as np
-
 from autorally_tpu.runtime.controller import Controller
 from autorally_tpu.runtime.plant import BasePlant, SyntheticPlant
 from autorally_tpu.runtime.telemetry import StatusMonitor, TimingStats

@@ -14,10 +14,8 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from autorally_tpu.config import CostParams, MPPIConfig
+from autorally_tpu.config import CostParams
 from autorally_tpu.costs.costmap import Costmap
-from autorally_tpu.costs.mppi_cost import MPPICost
-from autorally_tpu.models.base import Dynamics
 from autorally_tpu.solver.ddp import DDPResult, DDPSolver
 from autorally_tpu.solver.mppi import ControllerState, MPPISolver, SolveStats
 

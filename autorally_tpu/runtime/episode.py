@@ -18,7 +18,6 @@ not equal ``params_ctrl``).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple, Optional
 
 import jax

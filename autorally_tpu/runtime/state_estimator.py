@@ -20,7 +20,7 @@ bias b_g (3).  Error state: 15.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
