@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--model", default=MODEL_NPZ)
     ap.add_argument("--rollouts", type=int, default=1920)
     ap.add_argument("--desired-speed", type=float, default=6.0)
+    ap.add_argument("--neural-costmap", action="store_true",
+                    help="distill the track into a neural field and use "
+                         "the fully-fused rollout+cost kernel")
     args = ap.parse_args()
 
     if args.cpu:
@@ -48,6 +51,12 @@ def main():
     data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
                               track_width=6.0, ppm=10.0)
     costmap = make_costmap(data, xb, yb)
+    if args.neural_costmap:
+        from autorally_tpu.costs.neural_costmap import fit_neural_costmap
+
+        costmap, metrics = fit_neural_costmap(costmap)
+        print(f"neural costmap fit: mae={metrics['mae']:.3f} "
+              f"boundary_flip_rate={metrics['boundary_flip_rate']:.3%}")
 
     model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
     params = model.load_params(args.model)

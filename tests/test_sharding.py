@@ -98,3 +98,14 @@ def test_indivisible_rollouts_rejected():
     mesh = rollout_mesh(jax.devices()[:8])
     with pytest.raises(ValueError, match="not divisible"):
         ShardedMPPISolver(model, MPPICost(), cfg, mesh=mesh)
+
+
+def test_multihost_helpers_single_process():
+    """Single-process behavior of the multi-host utilities."""
+    from autorally_tpu.parallel.multihost import (initialize, is_primary,
+                                                  multihost_rollout_mesh)
+
+    initialize()                       # no-op single process
+    assert is_primary()
+    mesh = multihost_rollout_mesh()
+    assert mesh.shape["rollouts"] == len(jax.devices())
