@@ -100,6 +100,23 @@ def gen_costmap_from_image(input_img: str, config_file: str,
                  cfg["pixelsPerMeter"], output_name)
 
 
+def convert_legacy_txt(input_txt: str, output_name: str) -> None:
+    """Legacy ``.txt`` costmap -> ``.npz`` (parity with
+    ``scripts/track_converter.py``): whitespace-separated
+    [x_min x_max y_min y_max ppm v0 v1 ...] with channel 0 data only."""
+    with open(input_txt) as f:
+        cmap = f.read().split(" ")
+    x_bounds = np.array(cmap[0:2], dtype=np.float32)
+    y_bounds = np.array(cmap[2:4], dtype=np.float32)
+    ppm = float(cmap[4])
+    channel0 = np.array([c for c in cmap[5:] if c.strip()], dtype=np.float32)
+    H = int((y_bounds[1] - y_bounds[0]) * ppm)
+    W = int((x_bounds[1] - x_bounds[0]) * ppm)
+    data = np.zeros((H, W, 4), dtype=np.float32)
+    data[..., 0] = channel0.reshape(H, W)
+    save_costmap(data, x_bounds, y_bounds, ppm, output_name)
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description="Generate a costmap .npz")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -116,7 +133,15 @@ def main() -> None:
     pi.add_argument("-c", "--config", required=True)
     pi.add_argument("-o", "--output", default="map.npz")
 
+    pc = sub.add_parser("convert", help="legacy .txt -> .npz")
+    pc.add_argument("-i", "--input", required=True)
+    pc.add_argument("-o", "--output", default="map.npz")
+
     args = p.parse_args()
+    if args.cmd == "convert":
+        convert_legacy_txt(args.input, args.output)
+        print(f"wrote {args.output}")
+        return
     if args.cmd == "oval":
         data, xb, yb = oval_track(half_length=args.half_length,
                                   half_width=args.half_width,

@@ -132,3 +132,49 @@ def test_npz_export_import_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(model.dynamics(params, x, u)),
                                np.asarray(model.dynamics(params2, x, u)),
                                rtol=1e-6)
+
+
+def test_compare_nn_to_ode():
+    """NN vs analytic-ODE cross-check (model_vehicle_dynamics port)."""
+    from autorally_tpu.ml.ode_compare import compare_nn_to_ode
+
+    model = NeuralNetDynamics(0.01)
+    params = model.load_params(NN_NPZ)
+    res = compare_nn_to_ode(model, params, steering=0.0, throttle=0.3,
+                            time_horizon=1.0, dt=0.01)
+    assert res["nn"].shape == res["ode"].shape == (100, 7)
+    assert np.isfinite(res["final_divergence"]).all()
+    # both predict forward motion under throttle
+    assert res["nn"][-1, 4] > 0.3 and res["ode"][-1, 4] > 0.3
+    # ramped controls variant runs
+    res2 = compare_nn_to_ode(model, params, 0.2, 0.3, 0.5,
+                             linear_varying_ctrls=True)
+    np.testing.assert_allclose(res2["controls"][-1], [0.2, 0.3], rtol=1e-5)
+
+
+def test_sensor_noise_stats():
+    from autorally_tpu.ml.ode_compare import sensor_noise_stats
+
+    rng = np.random.RandomState(0)
+    log = np.stack([rng.randn(500) * 0.01 + 3.0,
+                    rng.randn(500) * 0.05], axis=1)
+    stats = sensor_noise_stats(log, ("x", "y"))
+    assert stats["x"]["std"] == pytest.approx(0.01, rel=0.2)
+    assert stats["y"]["std"] == pytest.approx(0.05, rel=0.2)
+
+
+def test_legacy_txt_costmap_conversion(tmp_path):
+    from autorally_tpu.costs.costmap import load_costmap
+    from autorally_tpu.tools.track_generator import convert_legacy_txt
+
+    H, W, ppm = 8, 12, 2.0
+    vals = np.arange(H * W, dtype=np.float32) / (H * W)
+    txt = " ".join(["0", str(W / ppm), "0", str(H / ppm), str(ppm)]
+                   + [str(v) for v in vals])
+    p = tmp_path / "legacy.txt"
+    p.write_text(txt)
+    out = str(tmp_path / "legacy.npz")
+    convert_legacy_txt(str(p), out)
+    cm = load_costmap(out)
+    assert cm.data.shape == (H, W, 4)
+    np.testing.assert_allclose(np.asarray(cm.data[..., 0]).reshape(-1), vals)
