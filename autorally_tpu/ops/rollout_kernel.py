@@ -172,12 +172,15 @@ def _rollout_kernel(n_layers: int, T: int, negate_yaw_der: bool, dt: float,
 # (eps in, states/useq out), so multi-cell tiles must fit VMEM twice.
 SINGLE_TILE = 2048
 MAX_TILE = 1024
+# the fused rollout+cost kernels carry no (T, K) state output, so their
+# per-cell VMEM footprint is ~half the chain kernel's and tiles can be 2x
+FUSED_MAX_TILE = 2048
 
 
-def _pick_tile(K: int) -> int:
+def _pick_tile(K: int, max_tile: int = MAX_TILE) -> int:
     if K <= SINGLE_TILE:
         return K
-    tile = MAX_TILE
+    tile = max_tile
     while K % tile:
         tile -= LANE
     return tile
@@ -483,7 +486,7 @@ def _fused_rollout_cost(dyn_layers, field_layers, num_freqs, T, K,
     n_layers = len(dyn_layers) - 1
     n_field = len(field_layers) - 1
     C = 2
-    tile = _pick_tile(K)
+    tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
     kernel = functools.partial(_fused_kernel, n_layers, n_field, num_freqs,
                                T, negate_yaw_der, l1_cost, dt)
@@ -788,7 +791,7 @@ def _fused_rng_pass1(dyn_layers, field_layers, num_freqs, T, K,
                      scalars, seed, U, *wb):
     n_layers = len(dyn_layers) - 1
     n_field = len(field_layers) - 1
-    tile = _pick_tile(K)
+    tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
     kernel = functools.partial(_fused_rng_kernel, n_layers, n_field,
                                num_freqs, T, negate_yaw_der, l1_cost, dt)
@@ -817,7 +820,7 @@ def _fused_rng_pass1(dyn_layers, field_layers, num_freqs, T, K,
 
 @functools.partial(jax.jit, static_argnames=("T", "K", "interpret"))
 def _fused_rng_pass2(T, K, interpret, scalars, seed, U, w):
-    tile = _pick_tile(K)
+    tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
     G = K // tile
     kernel = functools.partial(_weighted_update_kernel, T)

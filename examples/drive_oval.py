@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--neural-costmap", action="store_true",
                     help="distill the track into a neural field and use "
                          "the fully-fused rollout+cost kernel")
+    ap.add_argument("--bf", action="store_true",
+                    help="use the 25-basis-function dynamics model "
+                         "(path_integral_bf equivalent)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -58,8 +61,17 @@ def main():
         print(f"neural costmap fit: mae={metrics['mae']:.3f} "
               f"boundary_flip_rate={metrics['boundary_flip_rate']:.3%}")
 
-    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
-    params = model.load_params(args.model)
+    if args.bf:
+        from autorally_tpu.models import BasisFunctionDynamics
+
+        model = BasisFunctionDynamics(cfg.dt,
+                                      control_ranges=cfg.control_ranges)
+        params = model.load_params(
+            args.model.replace("autorally_nnet_09_12_2018",
+                               "basis_function_09_12_2018"))
+    else:
+        model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+        params = model.load_params(args.model)
 
     solver = MPPISolver(model, MPPICost(cfg.l1_cost), cfg)
     cs = solver.init_state()
