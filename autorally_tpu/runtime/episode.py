@@ -69,7 +69,6 @@ class EpisodeRunner:
             use_actual = st_a.trajectory_cost < st_p.trajectory_cost
             pick = lambda a, p: jnp.where(use_actual, a, p)
             chosen_ctrl = pick(cs_a.control_solution, cs_p.control_solution)
-            chosen_states = pick(cs_a.state_solution, cs_p.state_solution)
             # resync predicted controller when actual wins (:263-266)
             cs_p = cs_p._replace(
                 state_solution=pick(cs_a.state_solution, cs_p.state_solution),
