@@ -64,6 +64,15 @@ def _atan(z: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(z < 0, -p, p)
 
 
+PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+              "high": jax.lax.Precision.HIGH,
+              "default": jax.lax.Precision.DEFAULT}
+
+
+def _prec(name: str):
+    return PRECISIONS[name]
+
+
 def pallas_supported(K: int) -> bool:
     """The kernel requires the rollout batch to fill whole lane groups."""
     try:
@@ -74,7 +83,7 @@ def pallas_supported(K: int) -> bool:
 
 
 def _rollout_kernel(n_layers: int, T: int, negate_yaw_der: bool, dt: float,
-                    scalars_ref, s0_ref, U_ref, eps_ref, *refs):
+                    mm_prec, scalars_ref, s0_ref, U_ref, eps_ref, *refs):
     """Kernel body.
 
     refs layout: [W_0, b_0, ..., W_{L-1}, b_{L-1}, states_out, useq_out,
@@ -151,7 +160,7 @@ def _rollout_kernel(n_layers: int, T: int, negate_yaw_der: bool, dt: float,
             acts = jax.lax.dot_general(
                 W, acts, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + b
+                precision=mm_prec) + b
             if i < n_layers - 1:
                 acts = jnp.tanh(acts)
 
@@ -188,16 +197,16 @@ def _pick_tile(K: int, max_tile: int = MAX_TILE) -> int:
 
 @functools.partial(jax.jit, static_argnames=("layers", "T", "K",
                                              "negate_yaw_der", "dt",
-                                             "interpret"))
+                                             "interpret", "precision"))
 def _dynamics_chain(layers: Tuple[int, ...], T: int, K: int,
                     negate_yaw_der: bool, dt: float, interpret: bool,
-                    scalars, s0, U, eps, *wb):
+                    scalars, s0, U, eps, *wb, precision: str = "highest"):
     n_layers = len(layers) - 1
     C = 2
     tile = _pick_tile(K)
     grid = (K // tile,)
     kernel = functools.partial(_rollout_kernel, n_layers, T,
-                               negate_yaw_der, dt)
+                               negate_yaw_der, dt, _prec(precision))
 
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -230,7 +239,8 @@ def _dynamics_chain(layers: Tuple[int, ...], T: int, K: int,
 
 
 def dynamics_chain_pallas(model, model_params, cfg, state, U, eps,
-                          k_offset=0, interpret=False):
+                          k_offset=0, interpret=False,
+                          precision: str = "highest"):
     """Run the fused rollout dynamics chain.
 
     Args mirror ``MPPISolver.rollout_costs`` phase 1: ``state`` (S,),
@@ -265,7 +275,8 @@ def dynamics_chain_pallas(model, model_params, cfg, state, U, eps,
     # component is a contiguous (T, K) plane for the cost pass.
     return _dynamics_chain(
         tuple(model.layers), T, K, model.negate_yaw_der, float(model.dt),
-        interpret, scalars, s0, U.astype(jnp.float32), eps_t, *wb)
+        interpret, scalars, s0, U.astype(jnp.float32), eps_t, *wb,
+        precision=precision)
 
 
 def nominal_trajectory_pallas(model, model_params, cfg, state, U,
@@ -299,7 +310,7 @@ def nominal_trajectory_pallas(model, model_params, cfg, state, U,
 
 def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
                   T: int, negate_yaw_der: bool, l1_cost: bool, dt: float,
-                  scalars_ref, U_ref, eps_ref, *refs):
+                  mm_prec, scalars_ref, U_ref, eps_ref, *refs):
     """Rollout + cost in one program (the full ``rolloutKernel``).
 
     ``scalars_ref`` (SMEM, (32,)) packing (see ``fused_rollout_cost_pallas``):
@@ -457,7 +468,7 @@ def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
             acts = jax.lax.dot_general(
                 W, acts, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + b
+                precision=mm_prec) + b
             if i < n_layers - 1:
                 acts = jnp.tanh(acts)
         deriv = jnp.concatenate(
@@ -479,17 +490,18 @@ def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "dyn_layers", "field_layers", "num_freqs", "T", "K", "negate_yaw_der",
-    "l1_cost", "dt", "interpret"))
+    "l1_cost", "dt", "interpret", "precision"))
 def _fused_rollout_cost(dyn_layers, field_layers, num_freqs, T, K,
                         negate_yaw_der, l1_cost, dt, interpret,
-                        scalars, U, eps, *wb):
+                        scalars, U, eps, *wb, precision: str = "highest"):
     n_layers = len(dyn_layers) - 1
     n_field = len(field_layers) - 1
     C = 2
     tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
     kernel = functools.partial(_fused_kernel, n_layers, n_field, num_freqs,
-                               T, negate_yaw_der, l1_cost, dt)
+                               T, negate_yaw_der, l1_cost, dt,
+                               _prec(precision))
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     costs, crash, useq = pl.pallas_call(
@@ -522,7 +534,7 @@ def _fused_rollout_cost(dyn_layers, field_layers, num_freqs, T, K,
 
 def fused_rollout_cost_pallas(model, model_params, cfg, cost_params, field,
                               state, U, eps, l1_cost=False, k_offset=0,
-                              interpret=False):
+                              interpret=False, precision: str = "highest"):
     """Fully-fused rollout + cost for a :class:`NeuralCostmap` field.
 
     Returns (total_costs (K,), u_seq (C, T, K), crash (K,)) — the
@@ -573,7 +585,7 @@ def fused_rollout_cost_pallas(model, model_params, cfg, cost_params, field,
     costs, crash, useq = _fused_rollout_cost(
         tuple(model.layers), tuple(field_layer_dims), num_freqs, T, K,
         model.negate_yaw_der, l1_cost, float(model.dt), interpret,
-        sc, U.astype(jnp.float32), eps_t, *wb)
+        sc, U.astype(jnp.float32), eps_t, *wb, precision=precision)
     return costs[0], useq, crash[0].astype(jnp.int32)
 
 
@@ -603,7 +615,7 @@ def _kernel_normals(shape):
 
 def _fused_rng_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
                       T: int, negate_yaw_der: bool, l1_cost: bool, dt: float,
-                      scalars_ref, seed_ref, U_ref, *refs):
+                      mm_prec, scalars_ref, seed_ref, U_ref, *refs):
     """Pass 1 of the RNG mode: identical to ``_fused_kernel`` but noise is
     generated in-kernel (seeded per grid cell) and ONLY costs/crash are
     emitted — no eps input, no u_seq output, nothing per-(t,k) in HBM."""
@@ -728,7 +740,7 @@ def _fused_rng_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
             acts = jax.lax.dot_general(
                 W, acts, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + b
+                precision=mm_prec) + b
             if i < n_layers - 1:
                 acts = jnp.tanh(acts)
         deriv = jnp.concatenate(
@@ -785,16 +797,17 @@ def _weighted_update_kernel(T: int, scalars_ref, seed_ref, U_ref, w_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "dyn_layers", "field_layers", "num_freqs", "T", "K", "negate_yaw_der",
-    "l1_cost", "dt", "interpret"))
+    "l1_cost", "dt", "interpret", "precision"))
 def _fused_rng_pass1(dyn_layers, field_layers, num_freqs, T, K,
                      negate_yaw_der, l1_cost, dt, interpret,
-                     scalars, seed, U, *wb):
+                     scalars, seed, U, *wb, precision: str = "highest"):
     n_layers = len(dyn_layers) - 1
     n_field = len(field_layers) - 1
     tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
     kernel = functools.partial(_fused_rng_kernel, n_layers, n_field,
-                               num_freqs, T, negate_yaw_der, l1_cost, dt)
+                               num_freqs, T, negate_yaw_der, l1_cost, dt,
+                               _prec(precision))
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
     costs, crash = pl.pallas_call(
@@ -843,7 +856,7 @@ def _fused_rng_pass2(T, K, interpret, scalars, seed, U, w):
 
 def fused_rng_solve_iteration(model, model_params, cfg, cost_params, field,
                               state, U, key, l1_cost=False, k_offset=0,
-                              interpret=False):
+                              interpret=False, precision: str = "highest"):
     """One full MPPI iteration in nothing-in-HBM mode: pass 1 computes
     rollout costs with in-kernel noise; the softmax weights are computed
     in XLA; pass 2 regenerates the same noise and contracts it with the
@@ -898,7 +911,7 @@ def fused_rng_solve_iteration(model, model_params, cfg, cost_params, field,
     costs, crash = _fused_rng_pass1(
         tuple(model.layers), tuple(field_layer_dims), num_freqs, T, K,
         model.negate_yaw_der, l1_cost, float(model.dt), interpret,
-        sc, seed, U.astype(jnp.float32), *wb)
+        sc, seed, U.astype(jnp.float32), *wb, precision=precision)
     total = costs[0]
 
     baseline = jnp.min(total)

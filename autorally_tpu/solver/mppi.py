@@ -170,7 +170,8 @@ class MPPISolver:
             return fused_rollout_cost_pallas(
                 model, model_params, cfg, cost_params, costmap, state, U,
                 eps, l1_cost=cost.l1_cost, k_offset=k_offset,
-                interpret=self._pallas_interpret)
+                interpret=self._pallas_interpret,
+                precision=cfg.matmul_precision)
 
         if self.use_pallas_rollout:
             from autorally_tpu.ops.rollout_kernel import dynamics_chain_pallas
@@ -179,7 +180,8 @@ class MPPISolver:
             # Phase 2 consumes contiguous (T-1, K) planes — no relayouts.
             states, u_seq = dynamics_chain_pallas(
                 model, model_params, cfg, state, U, eps, k_offset=k_offset,
-                interpret=self._pallas_interpret)
+                interpret=self._pallas_interpret,
+                precision=cfg.matmul_precision)
             s_c = lambda i: states[i, :-1, :]                  # (T-1, K)
             u_c = lambda j: u_seq[j, 1:, :]
             eps_c = lambda j: eps[1:, :, j]
@@ -313,7 +315,8 @@ class MPPISolver:
                     self.model, model_params, cfg, cost_params, costmap,
                     state.astype(jnp.float32), U, sub,
                     l1_cost=self.cost.l1_cost,
-                    interpret=self._pallas_interpret)
+                    interpret=self._pallas_interpret,
+                    precision=cfg.matmul_precision)
                 baseline = jnp.min(total)
                 w = jnp.exp(-cfg.gamma * (total - baseline))
                 eta = jnp.sum(w)
