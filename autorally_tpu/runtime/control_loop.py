@@ -94,6 +94,17 @@ def run_control_loop(predicted: Controller, actual: Controller,
             last_pose_time = t_pose
             state = plant.get_state().to_vector()
 
+        # hot updates: cost params / costmap / model weights, applied to
+        # both controllers between solves (run_control_loop.cuh:182-204)
+        new_cost, new_map, new_model = plant.take_updates()
+        for ctrl in (actual, predicted):
+            if new_cost is not None:
+                ctrl.update_cost_params(new_cost)
+            if new_map is not None:
+                ctrl.update_costmap(new_map)
+            if new_model is not None:
+                ctrl.update_model_params(new_model)
+
         # stride (run_control_loop.cuh:206-215)
         stride = int(round(loop_time * cfg.hz))
         if status != 0:

@@ -87,6 +87,42 @@ class BasePlant:
         self.timing = (0.0, 0.0, 0.0)
         self.published: List[Tuple[float, float, float]] = []  # (t, steer, thr)
 
+        # pending hot updates for the optimizer loop (the reference's
+        # dynamic_reconfigure / costmap / model message queues,
+        # autorally_plant.cpp:262-309, run_control_loop.cuh:182-204)
+        self._pending_cost_params = None
+        self._pending_costmap = None
+        self._pending_model_params = None
+
+    # -- hot-update queue (publisher side: any thread) -----------------------
+
+    def push_cost_params(self, cost_params) -> None:
+        """Queue new cost parameters (the dynamic_reconfigure path)."""
+        with self._lock:
+            self._pending_cost_params = cost_params
+
+    def push_costmap(self, costmap) -> None:
+        """Queue a new costmap (the map-update path)."""
+        with self._lock:
+            self._pending_costmap = costmap
+
+    def push_model_params(self, model_params) -> None:
+        """Queue new dynamics weights (the live neuralNetModel push,
+        autorally_plant.cpp:262-301)."""
+        with self._lock:
+            self._pending_model_params = model_params
+
+    def take_updates(self):
+        """Drain pending updates (consumer side: the optimizer loop).
+        Returns (cost_params | None, costmap | None, model_params | None)."""
+        with self._lock:
+            out = (self._pending_cost_params, self._pending_costmap,
+                   self._pending_model_params)
+            self._pending_cost_params = None
+            self._pending_costmap = None
+            self._pending_model_params = None
+            return out
+
     # -- state in ------------------------------------------------------------
 
     def receive_pose(self, t: float, x: float, y: float, z: float,

@@ -215,3 +215,41 @@ def test_replay_plant():
         n += 1
     assert n == 20 and plant.exhausted
     assert plant.get_state().x_pos == pytest.approx(5.0)
+
+
+def test_control_loop_hot_updates():
+    """Live cost/model updates flow through the loop without recompiling
+    (the reference's dynamic_reconfigure + neuralNetModel push paths)."""
+    cfg = MPPIConfig(num_rollouts=64, num_timesteps=16, hz=50)
+    data, xb, yb = oval_track(ppm=2.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    actual = Controller(solver, params, CostParams(desired_speed=5.0), cm)
+    predicted = Controller(solver, params, CostParams(desired_speed=5.0),
+                           cm, seed=5)
+
+    start = np.array([30.0, 0.0, math.pi / 2, 0, 3.0, 0, 0],
+                     dtype=np.float32)
+    plant = SyntheticPlant(model, params, start, cfg.dt, cfg.num_timesteps,
+                           use_feedback_gains=False)
+    plant.receive_state_vector(0.0, start)
+
+    def on_tick(i, chosen, used, state):
+        if i == 3:
+            # live throttle cut: desired speed to zero mid-run
+            plant.push_cost_params(CostParams(desired_speed=0.0))
+        if i == 5:
+            plant.push_model_params(params)   # weight push (same weights)
+
+    lcfg = ControlLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
+                             max_iter=10, use_feedback_gains=False)
+    run_control_loop(predicted, actual, plant, lcfg, on_tick=on_tick)
+
+    # updates landed on both controllers
+    assert float(actual.cost_params.desired_speed) == 0.0
+    assert float(predicted.cost_params.desired_speed) == 0.0
+    # and did NOT trigger recompilation: one trace total despite the
+    # mid-run cost and model pushes (pytree swaps, not new traces)
+    assert solver._solve_jit._cache_size() == 1
