@@ -78,7 +78,6 @@ def main():
     plant.receive_state_vector(0.0, start)
 
     monitor = StatusMonitor()
-    laps = LapStats(line=(0.0, -100.0, 25.0, 35.0))  # start line: y=-100?
     # Start line: the segment x in [25, 35] on the +x side (y sign flip).
     laps = LapStats(line=(0.0, 0.0, 25.0, 35.0))
 

@@ -253,3 +253,25 @@ def test_control_loop_hot_updates():
     # and did NOT trigger recompilation: one trace total despite the
     # mid-run cost and model pushes (pytree swaps, not new traces)
     assert solver._solve_jit._cache_size() == 1
+
+
+def test_cut_throttle_emergency():
+    """cutThrottle (mppi_controller.cu:459-466): desired speed and max
+    throttle to zero, as parameter updates (no recompile)."""
+    cfg = MPPIConfig(num_rollouts=64, num_timesteps=16)
+    data, xb, yb = oval_track(ppm=2.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    ctrl = Controller(solver, params, CostParams(desired_speed=6.0), cm)
+
+    state = np.array([30.0, 0.0, math.pi / 2, 0, 5.0, 0, 0],
+                     dtype=np.float32)
+    ctrl.compute_control(state)
+    ctrl.cut_throttle()
+    assert float(ctrl.cost_params.desired_speed) == 0.0
+    assert float(ctrl.model_params["control_rngs"][1, 1]) == 0.0
+    ctrl.compute_control(state)
+    # every planned throttle is clamped to <= 0 after the cut
+    assert (ctrl.get_control_seq()[:, 1] <= 1e-6).all()
