@@ -22,6 +22,23 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+REFERENCE_ASSETS = ("/root/reference/autorally_control/src/path_integral/"
+                    "params/models")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip reference-asset-dependent tests gracefully if the read-only
+    reference mount is absent (the assets are data, deliberately not
+    vendored into this repo)."""
+    if os.path.isdir(REFERENCE_ASSETS):
+        return
+    marker = pytest.mark.skip(reason="reference model assets not mounted")
+    for item in items:
+        path = str(item.fspath)
+        src = open(path).read() if os.path.exists(path) else ""
+        if "/root/reference/" in src:
+            item.add_marker(marker)
+
 
 @pytest.fixture(scope="session")
 def rng():
