@@ -1,0 +1,101 @@
+"""Standalone simulator node — the Gazebo-stand-in process.
+
+The reference closes its loop across processes: the controller binary and
+the Gazebo simulator exchange pose/command over ROS pub/sub.  This node
+is that architecture without ROS: a separate OS process that integrates
+the vehicle dynamics in real time (native pacer), publishes pose records
+over UDP at the control rate, and applies whatever actuation commands
+arrive — the counterpart of ``autorally_gazebo`` + the ground-truth
+republisher for the UDP plant (``runtime/udp_plant.py``).
+
+Run::
+
+    python -m autorally_tpu.tools.sim_node --pose-port 47800 \
+        --control-port 47801 [--model PATH] [--hz 50] [--duration 30]
+
+Wire formats match :class:`autorally_tpu.runtime.udp_plant.UdpPlant`
+(``fmt='state'``): pose out = 8 float32 [t, x, y, yaw, roll, u_x, u_y,
+yaw_mder]; command in = 3 float32 [t, steering, throttle].
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+DEFAULT_MODEL = ("/root/reference/autorally_control/src/path_integral/"
+                 "params/models/autorally_nnet_09_12_2018.npz")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pose-port", type=int, default=47800,
+                    help="UDP port the controller listens for poses on")
+    ap.add_argument("--control-port", type=int, default=47801,
+                    help="UDP port this node listens for commands on")
+    ap.add_argument("--model", default=DEFAULT_MODEL)
+    ap.add_argument("--hz", type=int, default=50)
+    ap.add_argument("--duration", type=float, default=30.0,
+                    help="seconds of simulated driving (<=0: forever)")
+    ap.add_argument("--start", default="30,0,1.5708,0,0,0,0",
+                    help="initial state CSV [x,y,yaw,roll,ux,uy,yaw_mder]")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from autorally_tpu.models import NeuralNetDynamics
+    from autorally_tpu.runtime.native import Pacer, Ring, UdpLink
+
+    dt = 1.0 / args.hz
+    model = NeuralNetDynamics(dt)
+    params = model.load_params(args.model)
+
+    @jax.jit
+    def step(s, u):
+        s_next, _ = model.update_state(params, s, u)
+        return s_next
+
+    state = np.array([float(v) for v in args.start.split(",")],
+                     dtype=np.float32)
+    ctrl_ring = Ring(capacity=64, record_len=3)
+    ctrl_link = UdpLink(args.control_port, ctrl_ring)
+    pacer = Pacer(dt)
+
+    u = np.zeros(2, dtype=np.float32)
+    t = 0.0
+    n_ticks = int(args.duration * args.hz) if args.duration > 0 else -1
+    print(f"sim_node: {args.hz} Hz, pose->127.0.0.1:{args.pose_port}, "
+          f"cmd<-:{args.control_port}", flush=True)
+    try:
+        i = 0
+        while n_ticks < 0 or i < n_ticks:
+            pacer.wait()
+            rec = ctrl_ring.pop_latest()
+            if rec is not None:
+                u = np.asarray(rec[1:3], dtype=np.float32)
+            state = np.asarray(step(jnp.asarray(state), jnp.asarray(u)))
+            t += dt
+            UdpLink.send(args.pose_port,
+                         np.concatenate([[t], state]).astype(np.float32))
+            i += 1
+    except KeyboardInterrupt:
+        pass
+    finally:
+        ctrl_link.close()
+        pacer.close()
+    print(f"sim_node: done at t={t:.2f}s pos=({state[0]:.2f},{state[1]:.2f}) "
+          f"speed={state[4]:.2f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
