@@ -87,9 +87,8 @@ class MPPIConfig:
     steering_std: float = 0.275
     throttle_std: float = 0.3
     max_throttle: float = 0.65
-    min_throttle: float = -0.99
-    max_steering: float = 0.99
-    min_steering: float = -0.99
+    # Steering range and the throttle floor are fixed at +/-0.99 by the
+    # reference (path_integral_main.cu:98) — see ``control_ranges``.
     l1_cost: bool = False             # L1 vs L2 speed cost (costs.cu:315-326)
     seed: int = 1234                  # reference cuRAND seed (mppi_controller.cu:331)
     use_feedback_gains: bool = True

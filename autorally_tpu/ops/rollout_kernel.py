@@ -431,9 +431,12 @@ def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
         track = (jnp.abs(front) + jnp.abs(back)) * 0.5
         track = jnp.where(jnp.abs(track) < track_slop, 0.0,
                           track_coeff * track)
+        # Boundary latch only from cost steps t >= 1 — the scan path and
+        # the reference never boundary-check the initial state (cost step
+        # 0 contributes nothing; getTrackCost runs inside computeCost).
         crash = jnp.maximum(crash, jnp.where(
-            (front >= boundary_threshold) | (back >= boundary_threshold),
-            1.0, 0.0))
+            ((front >= boundary_threshold) | (back >= boundary_threshold))
+            & (t > 0), 1.0, 0.0))
 
         err = ux - desired_speed
         speed = speed_coeff * (jnp.abs(err) if l1_cost else err * err)
@@ -706,9 +709,10 @@ def _fused_rng_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
         track = (jnp.abs(front) + jnp.abs(back)) * 0.5
         track = jnp.where(jnp.abs(track) < track_slop, 0.0,
                           track_coeff * track)
+        # boundary latch suppressed at t==0 (parity with the scan path)
         crash = jnp.maximum(crash, jnp.where(
-            (front >= boundary_threshold) | (back >= boundary_threshold),
-            1.0, 0.0))
+            ((front >= boundary_threshold) | (back >= boundary_threshold))
+            & (t > 0), 1.0, 0.0))
 
         err = ux - desired_speed
         speed = speed_coeff * (jnp.abs(err) if l1_cost else err * err)

@@ -190,10 +190,11 @@ class BasePlant:
 
     def publish_control(self, t: float, steering: float, throttle: float
                         ) -> Tuple[float, float]:
-        """``pubControl`` (autorally_plant.cpp:353-375): NaN -> zero command
-        + shutdown; runstop -> zero throttle."""
+        """``pubControl`` (autorally_plant.cpp:353-375): NaN -> zero
+        steering + active braking (throttle -0.99) + shutdown; runstop ->
+        zero throttle."""
         if math.isnan(steering) or math.isnan(throttle):
-            steering, throttle = 0.0, 0.0
+            steering, throttle = 0.0, -0.99
             self.shutdown = True
         if self.runstop:
             throttle = min(throttle, 0.0)

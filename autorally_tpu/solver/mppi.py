@@ -159,11 +159,15 @@ class MPPISolver:
         # (ops/rollout_kernel.py) with state/weights resident in VMEM.
         from autorally_tpu.costs.neural_costmap import NeuralCostmap
 
-        if self.use_pallas_rollout and isinstance(costmap, NeuralCostmap):
+        if (self.use_pallas_rollout and isinstance(costmap, NeuralCostmap)
+                and type(self.cost) is MPPICost):
             # Neural-field costmap: the whole rolloutKernel (dynamics AND
             # cost) fuses into one Pallas program — no gather, no state
             # materialization (ops/rollout_kernel.py).  Assumes the default
-            # zero terminal cost (costs.cu:411-414).
+            # zero terminal cost (costs.cu:411-414).  Cost *subclasses*
+            # (e.g. ObstacleCost's track_cost_c override) cannot fuse —
+            # they fall through to the dynamics-chain kernel + batched
+            # cost epilogue below, which dispatches through the subclass.
             from autorally_tpu.ops.rollout_kernel import (
                 fused_rollout_cost_pallas)
 
@@ -291,7 +295,8 @@ class MPPISolver:
 
         return (self.cfg.kernel_rng and self.use_pallas_rollout
                 and self.cfg.noise_sampler == "gaussian"
-                and isinstance(costmap, NeuralCostmap))
+                and isinstance(costmap, NeuralCostmap)
+                and type(self.cost) is MPPICost)
 
     def _solve(self, model_params, cost_params: CostParams, costmap: Costmap,
                state: jnp.ndarray, cs: ControllerState

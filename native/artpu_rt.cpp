@@ -59,17 +59,18 @@ void artpu_ring_destroy(void* h) { delete static_cast<Ring*>(h); }
 
 // Producer: push one record.  Overwrites the oldest record when full
 // (latest-wins semantics for pose streams).  Returns 1 if a record was
-// dropped to make room.
+// dropped to make room.  Tail is advanced with CAS because the consumer
+// also advances it — a plain store could move it backwards.
 int artpu_ring_push(void* h, const float* rec) {
   Ring* r = static_cast<Ring*>(h);
   uint64_t head = r->head.load(std::memory_order_relaxed);
   uint64_t tail = r->tail.load(std::memory_order_acquire);
   int dropped = 0;
   if (head - tail >= r->capacity) {
-    // advance tail (drop oldest) — safe for SPSC-with-overwrite because
-    // the consumer re-checks indices after copying
-    r->tail.store(tail + 1, std::memory_order_release);
-    r->dropped.fetch_add(1, std::memory_order_relaxed);
+    // drop the oldest; if the CAS loses, the consumer popped it instead
+    if (r->tail.compare_exchange_strong(tail, tail + 1,
+                                        std::memory_order_acq_rel))
+      r->dropped.fetch_add(1, std::memory_order_relaxed);
     dropped = 1;
   }
   std::memcpy(&r->data[(head % r->capacity) * r->record_len], rec,
@@ -79,22 +80,29 @@ int artpu_ring_push(void* h, const float* rec) {
 }
 
 // Consumer: pop the oldest record.  Returns 1 on success, 0 if empty.
+// Torn-read safety: the producer memcpy-s record n into slot n%capacity
+// BEFORE publishing head=n+1, so slot tail%capacity may be mid-overwrite
+// as soon as the in-flight record index reaches tail+capacity — i.e. as
+// soon as the *published* head reaches tail+capacity (the producer may
+// already be writing when head2-tail == capacity).  Re-check with >= and
+// retry; claim the record with CAS so a concurrent producer drop of the
+// same record is detected.
 int artpu_ring_pop(void* h, float* out) {
   Ring* r = static_cast<Ring*>(h);
-  uint64_t tail = r->tail.load(std::memory_order_relaxed);
-  uint64_t head = r->head.load(std::memory_order_acquire);
-  if (tail >= head) return 0;
-  std::memcpy(out, &r->data[(tail % r->capacity) * r->record_len],
-              r->record_len * sizeof(float));
-  // If the producer lapped us while copying, this record was torn; skip
-  // forward and report empty (caller retries).
-  uint64_t head2 = r->head.load(std::memory_order_acquire);
-  if (head2 - tail > r->capacity) {
-    r->tail.store(head2 - r->capacity, std::memory_order_release);
-    return 0;
+  for (;;) {
+    uint64_t tail = r->tail.load(std::memory_order_acquire);
+    uint64_t head = r->head.load(std::memory_order_acquire);
+    if (tail >= head) return 0;
+    std::memcpy(out, &r->data[(tail % r->capacity) * r->record_len],
+                r->record_len * sizeof(float));
+    std::atomic_thread_fence(std::memory_order_acquire);
+    uint64_t head2 = r->head.load(std::memory_order_acquire);
+    if (head2 - tail >= r->capacity) continue;  // possibly torn; retry
+    if (r->tail.compare_exchange_strong(tail, tail + 1,
+                                        std::memory_order_acq_rel))
+      return 1;
+    // the producer dropped this record while we copied; retry
   }
-  r->tail.store(tail + 1, std::memory_order_release);
-  return 1;
 }
 
 // Consumer: drain everything, keep only the newest record (pose streams

@@ -89,7 +89,8 @@ def test_plant_nan_control_shuts_down():
     ctrl = np.full((10, 2), np.nan)
     plant.set_solution(np.zeros((10, 7)), ctrl, None, ts=100.0)
     out = plant.receive_state_vector(100.02, np.zeros(7))
-    assert out == (0.0, 0.0)
+    # NaN -> zero steering, active braking (autorally_plant.cpp:353-375)
+    assert out == (0.0, -0.99)
     assert plant.shutdown
 
 
