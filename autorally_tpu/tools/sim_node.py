@@ -11,7 +11,11 @@ republisher for the UDP plant (``runtime/udp_plant.py``).
 Run::
 
     python -m autorally_tpu.tools.sim_node --pose-port 47800 \
-        --control-port 47801 [--model PATH] [--hz 50] [--duration 30]
+        --control-port 47801 [--model PATH | --physics] [--hz 50]
+
+``--physics`` integrates the independent four-wheel physics model
+(:mod:`autorally_tpu.sim`) instead of a learned dynamics model — the
+closest equivalent of running against Gazebo.
 
 Wire formats match :class:`autorally_tpu.runtime.udp_plant.UdpPlant`
 (``fmt='state'``): pose out = 8 float32 [t, x, y, yaw, roll, u_x, u_y,
@@ -36,6 +40,10 @@ def main(argv=None) -> int:
     ap.add_argument("--control-port", type=int, default=47801,
                     help="UDP port this node listens for commands on")
     ap.add_argument("--model", default=DEFAULT_MODEL)
+    ap.add_argument("--physics", action="store_true",
+                    help="integrate the independent four-wheel physics "
+                         "model (autorally_tpu.sim) instead of the learned "
+                         "dynamics — the Gazebo-oracle configuration")
     ap.add_argument("--hz", type=int, default=50)
     ap.add_argument("--duration", type=float, default=30.0,
                     help="seconds of simulated driving (<=0: forever)")
@@ -56,16 +64,33 @@ def main(argv=None) -> int:
     from autorally_tpu.runtime.native import Pacer, Ring, UdpLink
 
     dt = 1.0 / args.hz
-    model = NeuralNetDynamics(dt)
-    params = model.load_params(args.model)
-
-    @jax.jit
-    def step(s, u):
-        s_next, _ = model.update_state(params, s, u)
-        return s_next
-
     state = np.array([float(v) for v in args.start.split(",")],
                      dtype=np.float32)
+
+    if args.physics:
+        from autorally_tpu.sim.vehicle import (VehicleParams,
+                                               controller_state,
+                                               init_sim_state, vehicle_step)
+
+        vp = VehicleParams()
+        sim_state = init_sim_state(x=float(state[0]), y=float(state[1]),
+                                   yaw=float(state[2]), vx=float(state[4]))
+        phys_step = jax.jit(
+            lambda s, cmd: vehicle_step(vp, s, cmd, dt, 20))
+
+        def step(s7, u):
+            nonlocal sim_state
+            cmd = jnp.asarray([u[0], u[1], 0.0], dtype=jnp.float32)
+            sim_state = phys_step(sim_state, cmd)
+            return controller_state(sim_state)
+    else:
+        model = NeuralNetDynamics(dt)
+        params = model.load_params(args.model)
+
+        @jax.jit
+        def step(s, u):
+            s_next, _ = model.update_state(params, s, u)
+            return s_next
     ctrl_ring = Ring(capacity=64, record_len=3)
     ctrl_link = UdpLink(args.control_port, ctrl_ring)
     pacer = Pacer(dt)

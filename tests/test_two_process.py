@@ -16,11 +16,11 @@ from autorally_tpu.runtime.native import native_available
 pytestmark = pytest.mark.skipif(not native_available(),
                                 reason="native lib unavailable")
 
-POSE_PORT = 47930
-CTRL_PORT = 47931
+PORTS = {"model": (47930, 47931), "physics": (47934, 47935)}
 
 
-def test_two_process_closed_loop():
+@pytest.mark.parametrize("sim_kind", ["model", "physics"])
+def test_two_process_closed_loop(sim_kind):
     from autorally_tpu.config import CostParams, MPPIConfig
     from autorally_tpu.costs import MPPICost
     from autorally_tpu.costs.costmap import make_costmap
@@ -35,12 +35,15 @@ def test_two_process_closed_loop():
     NN = ("/root/reference/autorally_control/src/path_integral/params/"
           "models/autorally_nnet_09_12_2018.npz")
 
-    # the simulator runs as its own OS process
+    pose_port, ctrl_port = PORTS[sim_kind]
+    # the simulator runs as its own OS process; "physics" mode integrates
+    # the independent four-wheel model (the Gazebo-oracle configuration)
     env = dict(os.environ)
     sim = subprocess.Popen(
         [sys.executable, "-m", "autorally_tpu.tools.sim_node",
          "--cpu", "--hz", "50", "--duration", "20",
-         "--pose-port", str(POSE_PORT), "--control-port", str(CTRL_PORT)],
+         "--pose-port", str(pose_port), "--control-port", str(ctrl_port)]
+        + (["--physics"] if sim_kind == "physics" else []),
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True)
 
@@ -56,7 +59,7 @@ def test_two_process_closed_loop():
         predicted = Controller(solver, params, cp, cm, seed=9)
 
         plant = UdpPlant(dt=cfg.dt, num_timesteps=cfg.num_timesteps,
-                         pose_port=POSE_PORT, control_port=CTRL_PORT,
+                         pose_port=pose_port, control_port=ctrl_port,
                          fmt="state", use_feedback_gains=False)
         plant.start()
 
