@@ -111,6 +111,11 @@ class MPPIConfig:
     # + gaussian sampler.  Different (equally valid) noise stream than the
     # jax.random path.
     kernel_rng: bool = False
+    # Fuse the *exact* costmap lookup into the Pallas rollout kernel
+    # (windowed VMEM-resident gather with a full-map exact fallback).
+    # Applies when the padded map fits the VMEM budget; bit-matches the
+    # scan path.  False falls back to dynamics-chain + XLA gather.
+    exact_fused: bool = True
     # Dynamics matmul precision inside the Pallas kernels: 'highest' (true
     # f32, matches the scan path bit-for-bit), 'high' (3 bf16 passes), or
     # 'default' (fastest; ~28% faster chains at large K, trajectories

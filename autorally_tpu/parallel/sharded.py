@@ -106,14 +106,65 @@ class ShardedMPPISolver(MPPISolver):
         )
         return fn(model_params, cost_params, costmap, state, U, key)
 
+    # kernel-RNG (nothing-in-HBM) mode, sharded: each chip seeds the
+    # Mosaic PRNG from its own folded key — the per-chip cuRAND stream of
+    # ``mppi_controller.cu:612`` — and the softmax joins globally (pmin
+    # baseline, psum eta/numerator) between the two kernel passes.
+    def _sharded_rng_iterate(self, model_params, cost_params, field, state,
+                             U, key) -> Tuple[jnp.ndarray, SolveStats]:
+        cfg = self.cfg
+        K_local = cfg.num_rollouts // self.n_shards
+        axis = self.axis_name
+
+        def body(model_params, cost_params, field, state, U, key):
+            from autorally_tpu.ops.rollout_kernel import (fused_rng_costs,
+                                                          fused_rng_numer)
+
+            idx = lax.axis_index(axis)
+            shard_key = jax.random.fold_in(key, idx)
+            total, crash, ctx = fused_rng_costs(
+                self.model, model_params, cfg, cost_params, field,
+                state.astype(jnp.float32), U, shard_key,
+                l1_cost=self.cost.l1_cost, k_offset=idx * K_local,
+                K_local=K_local, interpret=self._pallas_interpret,
+                precision=cfg.matmul_precision)
+
+            baseline = lax.pmin(jnp.min(total), axis)
+            w = jnp.exp(-cfg.gamma * (total - baseline))
+            eta = lax.psum(jnp.sum(w), axis)
+            sum_w2 = lax.psum(jnp.sum(w * w), axis)
+            numer = lax.psum(fused_rng_numer(ctx, w), axis)
+            U_new = (numer / eta).T
+
+            stats = SolveStats(
+                baseline=baseline,
+                normalizer=eta,
+                trajectory_cost=sum_w2 / eta,
+                ess=(eta * eta) / sum_w2,
+                mean_cost=lax.psum(jnp.sum(total), axis) / cfg.num_rollouts,
+                crash_frac=lax.psum(jnp.sum(crash.astype(jnp.float32)), axis)
+                / cfg.num_rollouts,
+            )
+            return U_new, stats
+
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), SolveStats(*([P()] * 6))),
+            check_vma=False,
+        )
+        return fn(model_params, cost_params, field, state, U, key)
+
     def _solve(self, model_params, cost_params: CostParams, costmap: Costmap,
                state: jnp.ndarray, cs: ControllerState
                ) -> Tuple[ControllerState, SolveStats]:
         cfg = self.cfg
         U, key, stats = cs.U, cs.key, None
+        iterate = (self._sharded_rng_iterate if self._use_kernel_rng(costmap)
+                   else self._sharded_iterate)
         for _ in range(cfg.num_iters):
             key, sub = jax.random.split(key)
-            U, stats = self._sharded_iterate(
+            U, stats = iterate(
                 model_params, cost_params, costmap, state, U, sub)
         U = savitzky_golay(U, cs.control_hist)
         states_sol, controls_sol = self.nominal_trajectory(model_params, state, U)

@@ -11,6 +11,11 @@ from autorally_tpu.runtime.diagnostics import Diagnostics, DiagnosticsAggregator
 from autorally_tpu.runtime.wheel_odometry import WheelOdometry
 from autorally_tpu.runtime.state_estimator import ErrorStateEKF
 from autorally_tpu.runtime.profiling import SolveTimer, device_trace
+from autorally_tpu.runtime.controllers import (ConstantSpeedController,
+                                               GpsWaypointController,
+                                               JoystickController,
+                                               SafeSpeedGovernor,
+                                               ThrottleCalibration)
 
 __all__ = [
     "Controller", "BasePlant", "FullState", "SyntheticPlant", "ReplayPlant",
@@ -18,4 +23,6 @@ __all__ = [
     "LapStats", "StatusMonitor", "TimingStats",
     "Diagnostics", "DiagnosticsAggregator", "WheelOdometry",
     "ErrorStateEKF", "SolveTimer", "device_trace",
+    "ConstantSpeedController", "GpsWaypointController",
+    "JoystickController", "SafeSpeedGovernor", "ThrottleCalibration",
 ]

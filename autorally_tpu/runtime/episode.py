@@ -5,11 +5,20 @@ over ROS at wall-clock rates; its ``debug_mode`` self-propagates the state
 inside the controller binary instead (``run_control_loop.cuh:296-302``).
 This module is the TPU-native version of that idea taken to its limit: the
 *entire episode* — receding-horizon slide, both tube-MPPI solves, the
-trajectory-cost arbitration with predicted-controller resync, and the
-plant integration under a (possibly different) true model — is one
-``lax.scan`` inside one jitted program.  No host round-trips per tick, so
-thousands of control ticks evaluate in seconds; per-tick telemetry comes
-back as arrays at the end.
+trajectory-cost arbitration with predicted-controller resync, DDP feedback
+gains, and the plant integration under a (possibly different) true model —
+is one ``lax.scan`` inside one jitted program.  No host round-trips per
+tick, so thousands of control ticks evaluate in seconds; per-tick telemetry
+comes back as arrays at the end.
+
+With ``use_feedback_gains=True`` the executed control follows the full
+reference pipeline (``autorally_plant.cpp:215-250``): the solution is
+alpha-interpolated at the plant's pose rate, the DDP gain matrix is
+interpolated the same way, and the clamped ``u_ff + K (x - x_des)`` is
+applied — with the NaN-``deltaU`` fallback to pure feedforward.
+``pose_substeps`` sets plant integration steps per control tick (the
+pose-rate : control-rate ratio; the true model's ``dt`` must equal
+``cfg.dt / pose_substeps``).
 
 Use for: lap-time benchmarking, controller regression evaluation,
 hyperparameter sweeps, and model-mismatch studies (``params_true`` need
@@ -31,7 +40,7 @@ from autorally_tpu.solver.mppi import ControllerState, MPPISolver
 
 class EpisodeResult(NamedTuple):
     states: jnp.ndarray           # (n_ticks, S) true plant states
-    controls: jnp.ndarray         # (n_ticks, C) executed controls
+    controls: jnp.ndarray         # (n_ticks, C) executed controls (substep 0)
     used_actual: jnp.ndarray      # (n_ticks,) bool: actual-state ctrl won
     trajectory_cost: jnp.ndarray  # (n_ticks,)
     ess: jnp.ndarray              # (n_ticks,)
@@ -42,11 +51,48 @@ class EpisodeRunner:
     """Tube-MPPI closed loop against a simulated plant, fully on-device."""
 
     def __init__(self, solver: MPPISolver, true_model: Optional[Dynamics]
-                 = None, n_ticks: int = 1000):
+                 = None, n_ticks: int = 1000,
+                 use_feedback_gains: bool = False, pose_substeps: int = 1,
+                 throttle_max: float = 0.65):
         self.solver = solver
         self.true_model = true_model or solver.model
         self.n_ticks = int(n_ticks)
+        self.use_feedback_gains = bool(use_feedback_gains)
+        self.pose_substeps = int(pose_substeps)
+        self.throttle_max = float(throttle_max)
+        expected_dt = solver.cfg.dt / self.pose_substeps
+        if abs(self.true_model.dt - expected_dt) > 1e-9:
+            raise ValueError(
+                f"true_model.dt={self.true_model.dt} must equal "
+                f"cfg.dt/pose_substeps={expected_dt}")
+        if self.use_feedback_gains:
+            from autorally_tpu.solver.ddp import DDPSolver
+            self.ddp = DDPSolver(solver.model, solver.cfg.dt,
+                                 solver.cfg.num_timesteps)
         self._run = jax.jit(self._episode)
+
+    def _executed_control(self, tau, state, chosen_ctrl, chosen_states,
+                          gains):
+        """Reference control publication at pose time ``tau`` seconds after
+        the solve (``autorally_plant.cpp:215-250``): alpha-interpolated
+        feedforward, optionally + interpolated-gain feedback, clamped;
+        NaN feedback falls back to feedforward."""
+        cfg = self.solver.cfg
+        T = cfg.num_timesteps
+        lo = jnp.clip(jnp.floor(tau / cfg.dt).astype(jnp.int32), 0, T - 1)
+        hi = jnp.clip(lo + 1, 0, T - 1)
+        alpha = tau / cfg.dt - lo.astype(jnp.float32)
+        u_ff = ((1 - alpha) * chosen_ctrl[lo] + alpha * chosen_ctrl[hi])
+        if not self.use_feedback_gains:
+            return u_ff
+        x_des = ((1 - alpha) * chosen_states[lo] + alpha * chosen_states[hi])
+        K = (1 - alpha) * gains[lo] + alpha * gains[hi]      # (C, S)
+        dU = K @ (state - x_des)
+        u_fb = jnp.stack([
+            jnp.clip(u_ff[0] + dU[0], -0.99, 0.99),
+            jnp.clip(u_ff[1] + dU[1], -0.99, self.throttle_max),
+        ])
+        return jnp.where(jnp.any(jnp.isnan(dU)), u_ff, u_fb)
 
     def _episode(self, params_ctrl, params_true, cost_params: CostParams,
                  costmap, state0, cs_a: ControllerState,
@@ -54,6 +100,7 @@ class EpisodeRunner:
         solver = self.solver
         cfg = solver.cfg
         stride = cfg.optimization_stride
+        M = self.pose_substeps
 
         def tick(carry, _):
             cs_a, cs_p, state = carry
@@ -69,21 +116,37 @@ class EpisodeRunner:
             use_actual = st_a.trajectory_cost < st_p.trajectory_cost
             pick = lambda a, p: jnp.where(use_actual, a, p)
             chosen_ctrl = pick(cs_a.control_solution, cs_p.control_solution)
+            chosen_states = pick(cs_a.state_solution, cs_p.state_solution)
             # resync predicted controller when actual wins (:263-266)
             cs_p = cs_p._replace(
-                state_solution=pick(cs_a.state_solution, cs_p.state_solution),
+                state_solution=chosen_states,
                 control_solution=chosen_ctrl,
                 U=pick(cs_a.U, cs_p.U))
 
-            # debug-mode plant propagation under the TRUE model (:296-302)
-            def sim_step(s, t):
-                s_next, _ = self.true_model.update_state(
-                    params_true, s, chosen_ctrl[t])
-                return s_next, None
+            # DDP feedback gains around the chosen solution
+            # (computeFeedbackGains, mppi_controller.cu:427-439)
+            if self.use_feedback_gains:
+                rngs = jnp.reshape(params_ctrl["control_rngs"], (-1, 2))[-2:]
+                gains = self.ddp.run(
+                    params_ctrl, state, pick(cs_a.U, cs_p.U), chosen_states,
+                    chosen_ctrl, rngs[:, 0], rngs[:, 1]).feedback_gain
+            else:
+                gains = None
 
-            state, _ = lax.scan(sim_step, state, jnp.arange(stride))
+            # plant propagation under the TRUE model at pose rate
+            # (debug-mode self-propagation, run_control_loop.cuh:296-302,
+            # through the plant's interp+feedback pipeline)
+            def sim_step(s, j):
+                tau = j.astype(jnp.float32) * (cfg.dt / M)
+                u = self._executed_control(tau, s, chosen_ctrl,
+                                           chosen_states, gains)
+                s_next, _ = self.true_model.update_state(params_true, s, u)
+                return s_next, u
 
-            out = (state, chosen_ctrl[0], use_actual,
+            state, u_exec = lax.scan(sim_step, state,
+                                     jnp.arange(stride * M))
+
+            out = (state, u_exec[0], use_actual,
                    pick(st_a.trajectory_cost, st_p.trajectory_cost),
                    pick(st_a.ess, st_p.ess),
                    pick(st_a.crash_frac, st_p.crash_frac))

@@ -159,6 +159,23 @@ class MPPISolver:
         # (ops/rollout_kernel.py) with state/weights resident in VMEM.
         from autorally_tpu.costs.neural_costmap import NeuralCostmap
 
+        if (self.use_pallas_rollout and cfg.exact_fused
+                and type(costmap) is Costmap and type(self.cost) is MPPICost):
+            from autorally_tpu.ops.rollout_kernel import (
+                exact_pallas_supported, fused_exact_rollout_cost_pallas)
+
+            # Exact reference costmap: if the map fits the VMEM budget the
+            # whole rolloutKernel (dynamics AND the texture-semantics
+            # point-sampled track cost, costs.cu:128-154) fuses into one
+            # Pallas program with an in-kernel windowed gather — the exact
+            # path no longer pays XLA's ~5 ns/lookup gather at large K.
+            if exact_pallas_supported(costmap, K):
+                return fused_exact_rollout_cost_pallas(
+                    model, model_params, cfg, cost_params, costmap, state,
+                    U, eps, l1_cost=cost.l1_cost, k_offset=k_offset,
+                    interpret=self._pallas_interpret,
+                    precision=cfg.matmul_precision)
+
         if (self.use_pallas_rollout and isinstance(costmap, NeuralCostmap)
                 and type(self.cost) is MPPICost):
             # Neural-field costmap: the whole rolloutKernel (dynamics AND
@@ -308,9 +325,9 @@ class MPPISolver:
         key = cs.key
         stats = None
         if self._use_kernel_rng(costmap):
-            # nothing-in-HBM mode: in-kernel noise + two-pass update
-            # (single-chip path; the sharded solver uses per-shard
-            # jax.random streams)
+            # nothing-in-HBM mode: in-kernel noise + two-pass update (the
+            # sharded solver composes the same kernels with per-shard
+            # seeds and global softmax reductions)
             from autorally_tpu.ops.rollout_kernel import (
                 fused_rng_solve_iteration)
 

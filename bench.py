@@ -1,17 +1,20 @@
-"""Benchmark: MPPI replans per second at the reference operating point.
+"""Benchmark: MPPI replans per second at the reference operating point,
+plus scale / sharded configurations.
 
-Reference baseline: the CUDA controller replans at 50 Hz (20 ms budget) with
-K=1920 rollouts, T=100 steps, the 6-32-32-4 NN dynamics model on a single
-GPU (BASELINE.md).  This measures the same solve — slide + full replan
-(noise, rollouts, weighting, smoothing, nominal trajectory) — as one jitted
-program on one TPU chip.
+Reference baseline: the CUDA controller replans at 50 Hz (20 ms budget)
+with K=1920 rollouts, T=100 steps, the 6-32-32-4 NN dynamics model on a
+single GPU (BASELINE.md).  The headline metric measures the same solve —
+slide + full replan (noise, rollouts, weighting, smoothing, nominal
+trajectory) — as one jitted program on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline = solves_per_sec / 50 (the reference's replan rate).
+``extra`` carries the scale configs (VERDICT round-1 item 2): exact-fused
+K=65536, neural-field K=65536, kernel-RNG K=262144, and a sharded config
+over every available device.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
@@ -19,46 +22,96 @@ import numpy as np
 BASELINE_HZ = 50.0
 
 
-def main():
+def _timed_solves(control_step, args0, cs, n=25, batches=6):
+    """Best-of-batches seconds/solve for chained dependent replans."""
     import jax
-    import jax.numpy as jnp
 
-    from autorally_tpu.config import CostParams, MPPIConfig
-    from __graft_entry__ import _build
-
-    cfg = MPPIConfig(num_rollouts=1920, num_timesteps=100)
-    solver, params, cost_params, costmap, state = _build(cfg)
-    cs = solver.init_state()
-
-    @jax.jit
-    def control_step(params, cost_params, costmap, state, cs):
-        cs = solver._slide(cs, jnp.int32(cfg.optimization_stride))
-        return solver._solve(params, cost_params, costmap, state, cs)
-
-    # Warm up / compile.
-    cs_out, stats = control_step(params, cost_params, costmap, state, cs)
-    jax.block_until_ready(cs_out)
-
-    # Timed: sequential dependent replans (each consumes the previous
-    # ControllerState), matching the real-time loop's data flow.  Best of
-    # several batches — the hardware tunnel adds multi-ms jitter spikes.
-    n, batches = 25, 6
+    cur, _ = control_step(*args0, cs)
+    jax.block_until_ready(cur)
     best = float("inf")
-    cur = cs_out
     for _ in range(batches):
         t0 = time.perf_counter()
         for _ in range(n):
-            cur, stats = control_step(params, cost_params, costmap, state,
-                                      cur)
+            cur, _ = control_step(*args0, cur)
         jax.block_until_ready(cur)
+        np.asarray(cur.U)                 # force full device completion
         best = min(best, (time.perf_counter() - t0) / n)
+    return best
 
-    solves_per_sec = 1.0 / best
+
+def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build
+
+    if sharded:
+        from autorally_tpu.parallel import rollout_mesh
+        mesh = rollout_mesh()
+        solver, params, cost_params, cm, state = _build(
+            cfg, sharded=True, mesh=mesh)
+    else:
+        solver, params, cost_params, cm, state = _build(cfg)
+    if costmap is not None:
+        cm = costmap
+
+    @jax.jit
+    def control_step(params, cost_params, cm, state, cs):
+        cs2 = solver._slide(cs, jnp.int32(cfg.optimization_stride))
+        return solver._solve(params, cost_params, cm, state, cs2)
+
+    sec = _timed_solves(control_step, (params, cost_params, cm, state),
+                        solver.init_state(), n=n, batches=batches)
+    return 1.0 / sec
+
+
+def main():
+    import jax
+
+    from autorally_tpu.config import MPPIConfig
+
+    n_dev = len(jax.devices())
+
+    # headline: reference operating point (exact costmap, fused kernel)
+    cfg = MPPIConfig(num_rollouts=1920, num_timesteps=100)
+    headline = _bench_cfg(cfg)
+
+    extra = {"devices": n_dev}
+    try:
+        # exact costmap at scale: the fused windowed-gather kernel
+        extra["exact_K65536_solves_per_sec"] = round(_bench_cfg(
+            MPPIConfig(num_rollouts=65536, num_timesteps=100),
+            n=8, batches=4), 2)
+
+        # neural-field costmap at the same scale
+        from __graft_entry__ import _build
+        from autorally_tpu.costs.neural_costmap import fit_neural_costmap
+        _, _, _, cm, _ = _build(cfg)
+        nc, _ = fit_neural_costmap(cm, epochs=1500)
+        extra["neural_K65536_solves_per_sec"] = round(_bench_cfg(
+            MPPIConfig(num_rollouts=65536, num_timesteps=100),
+            costmap=nc, n=8, batches=4), 2)
+
+        # capacity mode: in-kernel RNG, K=262144, nothing per-(t,k) in HBM
+        extra["rng_K262144_solves_per_sec"] = round(_bench_cfg(
+            MPPIConfig(num_rollouts=262144, num_timesteps=100,
+                       kernel_rng=True),
+            costmap=nc, n=4, batches=3), 2)
+
+        # sharded over every available device (1 on this rig: measures the
+        # shard_map + collectives overhead; a real slice scales K)
+        extra["sharded_K1920_solves_per_sec"] = round(_bench_cfg(
+            cfg, sharded=True, n=12, batches=4), 2)
+        extra["sharded_K_per_device"] = 1920 // n_dev
+    except Exception as e:                      # pragma: no cover
+        extra["error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps({
         "metric": "mppi_solves_per_sec_K1920_T100",
-        "value": round(solves_per_sec, 2),
+        "value": round(headline, 2),
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_sec / BASELINE_HZ, 3),
+        "vs_baseline": round(headline / BASELINE_HZ, 3),
+        "extra": extra,
     }))
 
 

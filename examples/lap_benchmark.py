@@ -26,6 +26,16 @@ def main():
     ap.add_argument("--rollouts", type=int, default=1920)
     ap.add_argument("--timesteps", type=int, default=100)
     ap.add_argument("--desired-speed", type=float, default=6.0)
+    ap.add_argument("--feedback", action="store_true",
+                    help="apply DDP feedback gains K(x - x_des) through the "
+                         "interpolated publication pipeline "
+                         "(autorally_plant.cpp:215-250)")
+    ap.add_argument("--pose-substeps", type=int, default=1,
+                    help="plant integration substeps per control tick "
+                         "(pose rate / control rate)")
+    ap.add_argument("--mismatch", type=float, default=0.0,
+                    help="scale the true-plant model weights by (1+x) to "
+                         "study tube feedback under model error")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -51,13 +61,24 @@ def main():
     model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
     params = model.load_params(MODEL_NPZ)
     solver = MPPISolver(model, MPPICost(), cfg)
-    runner = EpisodeRunner(solver, n_ticks=args.ticks)
+    true_model = NeuralNetDynamics(cfg.dt / args.pose_substeps,
+                                   control_ranges=cfg.control_ranges)
+    runner = EpisodeRunner(solver, true_model=true_model,
+                           n_ticks=args.ticks,
+                           use_feedback_gains=args.feedback,
+                           pose_substeps=args.pose_substeps)
+    params_true = params
+    if args.mismatch:
+        params_true = {**params, "weights": [W * (1 + args.mismatch)
+                                             for W in params["weights"]]}
+    print(f"feedback_gains={args.feedback} pose_substeps="
+          f"{args.pose_substeps} mismatch={args.mismatch}")
 
     start = np.array([30.0, 0.0, math.pi / 2, 0, 0, 0, 0], dtype=np.float32)
     cost_params = CostParams(desired_speed=args.desired_speed)
 
     t0 = time.time()
-    res = runner.run(params, cost_params, cm, start)
+    res = runner.run(params, cost_params, cm, start, params_true=params_true)
     jax.block_until_ready(res)
     wall = time.time() - t0
     sim_s = args.ticks * cfg.dt

@@ -73,3 +73,64 @@ def test_episode_feeds_lap_stats():
     for i, s in enumerate(states):
         laps.process_pose(i * dt, s[0], s[1], s[4], s[5])
     assert laps.max_speed > 2.0
+
+
+def test_episode_feedback_gains_change_executed_controls():
+    """Tube feedback at device speed (autorally_plant.cpp:215-250): with a
+    model-mismatched plant, K(x - x_des) must alter the executed controls
+    relative to pure feedforward, and keep the loop finite."""
+    cfg = MPPIConfig(num_rollouts=128, num_timesteps=24)
+    data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
+                              track_width=6.0, ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    perturbed = {**params,
+                 "weights": [W * 1.08 for W in params["weights"]]}
+    start = np.array([30.0, 0.0, math.pi / 2, 0, 1.0, 0, 0],
+                     dtype=np.float32)
+    cp = CostParams(desired_speed=4.0)
+
+    r_ff = EpisodeRunner(solver, n_ticks=50)
+    r_fb = EpisodeRunner(solver, n_ticks=50, use_feedback_gains=True)
+    res_ff = r_ff.run(params, cp, cm, start, params_true=perturbed)
+    res_fb = r_fb.run(params, cp, cm, start, params_true=perturbed)
+
+    u_ff = np.asarray(res_ff.controls)
+    u_fb = np.asarray(res_fb.controls)
+    assert np.isfinite(u_fb).all()
+    assert np.isfinite(np.asarray(res_fb.states)).all()
+    # feedback genuinely modifies the executed commands
+    assert np.abs(u_ff - u_fb).max() > 1e-3
+    # and respects the publication clamps (throttle_max=0.65 default)
+    assert u_fb[:, 0].max() <= 0.99 and u_fb[:, 0].min() >= -0.99
+    assert u_fb[:, 1].max() <= 0.65 + 1e-6
+
+
+def test_episode_pose_rate_interpolation():
+    """pose_substeps > 1: the plant integrates at a finer dt through the
+    alpha-interpolated solution (the 50 Hz-solution / faster-pose split of
+    the reference plant)."""
+    cfg = MPPIConfig(num_rollouts=128, num_timesteps=24)
+    data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
+                              track_width=6.0, ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    fine_model = NeuralNetDynamics(cfg.dt / 4,
+                                   control_ranges=cfg.control_ranges)
+    start = np.array([30.0, 0.0, math.pi / 2, 0, 1.0, 0, 0],
+                     dtype=np.float32)
+
+    with pytest.raises(ValueError):
+        EpisodeRunner(solver, true_model=fine_model, n_ticks=10,
+                      pose_substeps=2)
+
+    r = EpisodeRunner(solver, true_model=fine_model, n_ticks=60,
+                      pose_substeps=4, use_feedback_gains=True)
+    res = r.run(params, CostParams(desired_speed=4.0), cm, start)
+    states = np.asarray(res.states)
+    assert np.isfinite(states).all()
+    assert states[-1, 4] > 1.5          # still drives

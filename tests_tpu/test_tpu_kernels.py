@@ -25,9 +25,9 @@ NN_NPZ = "/root/reference/autorally_control/src/path_integral/params/models/auto
 START = np.array([30.0, 0.0, 1.57, 0.0, 2.0, 0.0, 0.0], dtype=np.float32)
 
 
-def build(K=1920, T=100, pallas=None):
+def build(K=1920, T=100, pallas=None, exact_fused=False):
     cfg = MPPIConfig(num_rollouts=K, num_timesteps=T,
-                     use_pallas_rollout=pallas)
+                     use_pallas_rollout=pallas, exact_fused=exact_fused)
     data, xb, yb = oval_track(ppm=4.0)
     cm = make_costmap(data, xb, yb)
     model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
@@ -62,6 +62,60 @@ def test_gridded_kernel_large_K():
                                rtol=2e-4, atol=1e-4)
     np.testing.assert_allclose(float(stp.baseline), float(sts.baseline),
                                rtol=1e-4)
+
+
+def test_exact_fused_kernel_matches_scan():
+    """The fused exact-costmap kernel (windowed in-kernel gather) vs the
+    scan path — texture semantics must be bit-faithful, so the update
+    tolerance is the dynamics-matmul one, same as the chain test."""
+    sp, params, cp, cm, cfg = build(pallas=True, exact_fused=True)
+    ss, *_ = build(pallas=False)
+    eps = jax.random.normal(jax.random.PRNGKey(3), (100, 1920, 2),
+                            dtype=jnp.float32)
+    U = sp.init_state().U
+    tot_p, useq_p, crash_p = jax.jit(
+        lambda e: sp.rollout_costs(params, cp, cm, START, U, e))(eps)
+    tot_s, useq_s, crash_s = jax.jit(
+        lambda e: ss.rollout_costs(params, cp, cm, START, U, e))(eps)
+    assert (np.asarray(crash_p) == np.asarray(crash_s)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(tot_p), np.asarray(tot_s),
+                               rtol=2e-4, atol=1e-3)
+    Up, _ = jax.jit(lambda e: sp.iterate(params, cp, cm, START, U, e))(eps)
+    Us, _ = jax.jit(lambda e: ss.iterate(params, cp, cm, START, U, e))(eps)
+    np.testing.assert_allclose(np.asarray(Up), np.asarray(Us),
+                               rtol=2e-4, atol=1e-4)
+
+
+def test_exact_fused_large_K_beats_epilogue_gather():
+    """K=65536: the in-kernel windowed gather must clearly beat the
+    chain + XLA-gather epilogue (the round-1 scale bottleneck)."""
+    import time
+
+    K, T = 65536, 100
+    sf, params, cp, cm, _ = build(K=K, T=T, pallas=True, exact_fused=True)
+    sg, *_ = build(K=K, T=T, pallas=True, exact_fused=False)
+    eps = jax.random.normal(jax.random.PRNGKey(4), (T, K, 2),
+                            dtype=jnp.float32)
+    U = sf.init_state().U
+
+    def timed(sv):
+        f = jax.jit(lambda e: sv.iterate(params, cp, cm, START, U, e))
+        r = f(eps)
+        jax.block_until_ready(r)
+        best = np.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(eps)[0])           # force device completion
+            best = min(best, time.perf_counter() - t0)
+        return best, r[0]
+
+    t_fused, U_f = timed(sf)
+    t_epilogue, U_g = timed(sg)
+    np.testing.assert_allclose(np.asarray(U_f), np.asarray(U_g),
+                               rtol=2e-4, atol=1e-3)
+    print(f"\nK={K} exact: fused {t_fused*1e3:.1f} ms vs "
+          f"epilogue {t_epilogue*1e3:.1f} ms")
+    assert t_fused < t_epilogue
 
 
 def test_fused_neural_kernel_matches_twophase():
@@ -127,6 +181,35 @@ def test_kernel_rng_mode_matches_host_noise_statistically():
 
     # deterministic given the key
     a2, _ = sp_rng.solve(params, cp, nc, START, cs)
+    np.testing.assert_array_equal(np.asarray(a.U), np.asarray(a2.U))
+
+
+def test_sharded_kernel_rng_composes():
+    """Kernel-RNG mode through ShardedMPPISolver: per-shard Mosaic seeds +
+    global softmax reductions.  On the single-chip mesh available here the
+    composition must be deterministic and land at the same decision level
+    as the single-chip kernel-RNG solver (different key-derivation, hence
+    a different — equally valid — noise stream)."""
+    from jax.sharding import Mesh
+    from autorally_tpu.parallel.sharded import ShardedMPPISolver
+
+    cfg = MPPIConfig(num_rollouts=1920, num_timesteps=100, kernel_rng=True,
+                     use_pallas_rollout=True)
+    _, params, cp, cm, _ = build(pallas=True)
+    nc, _ = fit_neural_costmap(cm, epochs=1500)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rollouts",))
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    sh = ShardedMPPISolver(model, MPPICost(), cfg, mesh=mesh)
+    single = MPPISolver(model, MPPICost(), cfg)
+    cs = sh.init_state()
+
+    a, sa = sh.solve(params, cp, nc, START, cs)
+    b, sb = single.solve(params, cp, nc, START, cs)
+    assert np.isfinite(np.asarray(a.U)).all()
+    assert np.abs(np.asarray(a.U) - np.asarray(b.U)).max() < 0.15
+    assert 0.2 < float(sa.ess) / float(sb.ess) < 5.0
+
+    a2, _ = sh.solve(params, cp, nc, START, cs)
     np.testing.assert_array_equal(np.asarray(a.U), np.asarray(a2.U))
 
 
