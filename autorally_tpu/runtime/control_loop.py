@@ -54,19 +54,6 @@ def run_control_loop(predicted: Controller, actual: Controller,
     stride_default = cfg.optimization_stride
     period = stride_default / cfg.hz
 
-    # realtime pacing: prefer the native absolute-deadline pacer
-    # (clock_nanosleep) over time.sleep — replaces the reference's 50 us
-    # usleep polling (run_control_loop.cuh:304-312)
-    pacer = None
-    if cfg.realtime:
-        try:
-            from autorally_tpu.runtime.native import Pacer, native_available
-
-            if native_available():
-                pacer = Pacer(period)
-        except Exception:
-            pacer = None
-
     # -- initialization (run_control_loop.cuh:146-155) -----------------------
     state = plant.get_state().to_vector()
     actual.set_state(state)
@@ -82,6 +69,22 @@ def run_control_loop(predicted: Controller, actual: Controller,
     status = 1
     num_iter = 0
     max_iter = cfg.max_iter if cfg.max_iter is not None else 2 ** 31
+
+    # realtime pacing: prefer the native absolute-deadline pacer
+    # (clock_nanosleep) over time.sleep — replaces the reference's 50 us
+    # usleep polling (run_control_loop.cuh:304-312).  Created AFTER the
+    # initialization solves so the first deadline is armed when the loop
+    # actually starts ticking (init-time compile/warm work must not count
+    # as missed deadlines).
+    pacer = None
+    if cfg.realtime:
+        try:
+            from autorally_tpu.runtime.native import Pacer, native_available
+
+            if native_available():
+                pacer = Pacer(period)
+        except Exception:
+            pacer = None
 
     while alive() and num_iter < max_iter and not plant.shutdown:
         tick_start = time.perf_counter()
@@ -148,21 +151,24 @@ def run_control_loop(predicted: Controller, actual: Controller,
         tick_s = time.perf_counter() - tick_start
 
         # advance / pace
+        missed = 0
         if not cfg.realtime and isinstance(plant, SyntheticPlant):
             plant.step_sim(stride_default)       # lockstep sim advance
             last_sleep = 0.0
         elif pacer is not None:
             t_sleep = time.perf_counter()
-            pacer.wait()
+            missed = pacer.wait()                # whole deadlines overrun
             last_sleep = time.perf_counter() - t_sleep
         else:
             remaining = period - tick_s
             last_sleep = max(0.0, remaining)
             if remaining > 0:
                 time.sleep(remaining)
+            else:
+                missed = int(tick_s / period)    # budget overrun periods
 
         timing.update(loop_time * 1000.0, tick_s * 1000.0,
-                      last_sleep * 1000.0)
+                      last_sleep * 1000.0, missed=missed)
         plant.set_timing_info(timing.avg_loop_ms, timing.avg_tick_ms,
                               timing.avg_sleep_ms)
     return timing

@@ -21,26 +21,44 @@ from typing import List, Optional
 
 class TimingStats:
     """Running averages over loop iterations (run_control_loop.cuh:315-318):
-    avg = (n-1)/n * avg + sample/n."""
+    avg = (n-1)/n * avg + sample/n — plus raw tick samples for percentile
+    gating (the real-time gate: p99 tick < budget, missed == 0), which the
+    reference never recorded."""
 
     def __init__(self):
         self.num_iter = 0
         self.avg_loop_ms = 0.0       # time between pose estimates
         self.avg_tick_ms = 0.0       # optimization tick time
         self.avg_sleep_ms = 0.0
+        self.tick_samples_ms: list = []
+        self.missed_ticks = 0        # whole deadline periods overrun
 
-    def update(self, loop_ms: float, tick_ms: float, sleep_ms: float) -> None:
+    def update(self, loop_ms: float, tick_ms: float, sleep_ms: float,
+               missed: int = 0) -> None:
         self.num_iter += 1
         n = self.num_iter
         self.avg_loop_ms = (n - 1.0) / n * self.avg_loop_ms + loop_ms / n
         self.avg_tick_ms = (n - 1.0) / n * self.avg_tick_ms + tick_ms / n
         self.avg_sleep_ms = (n - 1.0) / n * self.avg_sleep_ms + sleep_ms / n
+        self.tick_samples_ms.append(tick_ms)
+        self.missed_ticks += int(missed)
+
+    def tick_percentile_ms(self, p: float) -> float:
+        """p in [0, 100]; nearest-rank percentile of tick times."""
+        if not self.tick_samples_ms:
+            return 0.0
+        s = sorted(self.tick_samples_ms)
+        idx = min(len(s) - 1, max(0, int(round(p / 100.0 * (len(s) - 1)))))
+        return s[idx]
 
     def as_dict(self) -> dict:
         return {
             "averageTimeBetweenPoses": self.avg_loop_ms,
             "averageOptimizationCycleTime": self.avg_tick_ms,
             "averageSleepTime": self.avg_sleep_ms,
+            "tickP50Ms": self.tick_percentile_ms(50.0),
+            "tickP99Ms": self.tick_percentile_ms(99.0),
+            "missedTicks": self.missed_ticks,
         }
 
 

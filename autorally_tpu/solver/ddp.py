@@ -19,7 +19,19 @@ Algorithm parity with ``DDP::run``:
   ``quu`` solve is a closed-form inverse instead of LDLT
 - forward pass with control clamping and alpha line search; iteration 0
   always accepts (ddp.h:119-151) — matching the launch default
-  ``num_iters = 1`` exactly
+  ``num_iters = 1`` exactly.  When the line search exhausts its alphas
+  (``alpha < min_alpha``) without improving on the previous iteration, the
+  previous trajectory is kept explicitly: the reference "accepts" the
+  alpha≈0 forward pass in that branch (ddp.h:136-143), and with dx(0)=0 a
+  zero-alpha rollout reproduces the previous trajectory exactly, so
+  keeping it is the same fixed point without the float noise of a
+  near-zero step.  Accepted cost is therefore non-increasing across
+  iterations.
+- optional box-constrained feedforward step (``use_boxqp``): the
+  reference ships BoxQP (boxqp.h) but never calls it from DDP; here it
+  can be enabled to solve ``min 0.5 l'Quu l + Qu'l`` subject to
+  ``u_min <= u+l <= u_max`` per timestep, zeroing feedback rows of
+  clamped controls (Tassa-style control-limited DDP).
 """
 
 from __future__ import annotations
@@ -32,6 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from autorally_tpu.models.base import Dynamics
+from autorally_tpu.solver.boxqp import boxqp
 
 
 class DDPResult(NamedTuple):
@@ -52,6 +65,10 @@ class DDPConfig:
     R_diag: Tuple[float, ...] = (10.0, 10.0)
     Qf_diag: Tuple[float, ...] = (0.0,) * 7
     min_alpha: float = 1e-4
+    # Solve the feedforward step as a box QP against the control limits
+    # and zero clamped feedback rows (control-limited DDP).  Off by
+    # default: the reference instantiates BoxQP but never invokes it.
+    use_boxqp: bool = False
 
 
 class DDPSolver:
@@ -126,22 +143,33 @@ class DDPSolver:
 
             def backward(carry, inp):
                 Vxx, Vx = carry
-                A_k, B_k, Lx_k, Lu_k = inp
+                A_k, B_k, Lx_k, Lu_k, u_k = inp
                 qx = Lx_k * dt + A_k.T @ Vx
                 qu = Lu_k * dt + B_k.T @ Vx
                 qux = B_k.T @ Vxx @ A_k                  # d2L_ux == 0
                 qxx = self.Q * dt + A_k.T @ Vxx @ A_k
                 quu = self.R * dt + B_k.T @ Vxx @ B_k
-                quu_inv = _inv2x2(quu) if C == 2 else jnp.linalg.inv(quu)
-                K_k = -quu_inv @ qux                     # (C, S)
-                l_k = -quu_inv @ qu                      # (C,)
+                if self.cfg.use_boxqp:
+                    # Control-limited step: feedforward from the box QP in
+                    # delta-u coordinates, feedback only on the free set
+                    # (boxqp.h role; the reference never wires this in).
+                    res = boxqp(quu, qu, u_min - u_k, u_max - u_k)
+                    fmask = res.free.astype(quu.dtype)
+                    quu_f = (quu * fmask[:, None] * fmask[None, :]
+                             + jnp.diag(1.0 - fmask))
+                    K_k = -jnp.linalg.solve(quu_f, qux * fmask[:, None])
+                    l_k = res.x
+                else:
+                    quu_inv = _inv2x2(quu) if C == 2 else jnp.linalg.inv(quu)
+                    K_k = -quu_inv @ qux                 # (C, S)
+                    l_k = -quu_inv @ qu                  # (C,)
                 Vxx_new = qxx + qux.T @ K_k
                 Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
                 Vx_new = qx + qux.T @ l_k
                 return (Vxx_new, Vx_new), (K_k, l_k)
 
             # k = T-2 .. 0 (ddp.h:88); gains at T-1 stay zero.
-            inputs = (A[:-1], B[:-1], Lx[:-1], Lu[:-1])
+            inputs = (A[:-1], B[:-1], Lx[:-1], Lu[:-1], us[:-1])
             _, (Ks, ls) = lax.scan(backward, (Vxx_T, Vx_T), inputs,
                                    reverse=True)
             Ks = jnp.concatenate([Ks, jnp.zeros((1, C, S))], axis=0)
@@ -170,9 +198,16 @@ class DDPSolver:
             def body(loop):
                 alpha, _, _, _, _ = loop
                 xn, un, cost = forward(alpha)
-                accept = ((it == 0) | (alpha < self.cfg.min_alpha)
-                          | (cost <= prev_cost))
-                return (alpha * 0.5, xn, un, cost, accept)
+                improved = (it == 0) | (cost <= prev_cost)
+                exhausted = alpha < self.cfg.min_alpha
+                # Exhausted without improvement: keep the previous
+                # trajectory (== the reference's alpha->0 accept,
+                # ddp.h:136-143, made exact).
+                keep_prev = exhausted & jnp.logical_not(improved)
+                xn = jnp.where(keep_prev, xs, xn)
+                un = jnp.where(keep_prev, us, un)
+                cost = jnp.where(keep_prev, prev_cost, cost)
+                return (alpha * 0.5, xn, un, cost, improved | exhausted)
 
             _, xn, un, cost, _ = lax.while_loop(
                 cond, body, (jnp.float32(1.0), xs, us,

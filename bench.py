@@ -106,6 +106,32 @@ def main():
     except Exception as e:                      # pragma: no cover
         extra["error"] = f"{type(e).__name__}: {e}"
 
+    # realtime gate: two-process loop (sim node + UDP + pacer + dual
+    # controllers + feedback gains) in a CPU subprocess — asserts the
+    # host control stack holds the 20 ms period; the TPU solve latency
+    # is the headline above (the tunnel's ~25 ms host-sync dispatch
+    # would otherwise dominate a host-paced loop on this rig).
+    try:
+        import subprocess
+        import sys as _sys
+
+        # bootstrap via -c: the platform must flip to cpu BEFORE the
+        # package import chain touches jax (python -m imports package
+        # __init__ first, which would initialize the TPU backend)
+        boot = ("import jax; jax.config.update('jax_platforms','cpu'); "
+                "from autorally_tpu.runtime.realtime_gate import main; "
+                "main(['--seconds','3.0',"
+                "'--pose-port','47970','--control-port','47971'])")
+        out = subprocess.run([_sys.executable, "-c", boot],
+                             capture_output=True, text=True, timeout=180)
+        gate = json.loads(out.stdout.strip().splitlines()[-1])
+        extra["realtime_tick_p50_ms"] = gate["p50_ms"]
+        extra["realtime_tick_p99_ms"] = gate["p99_ms"]
+        extra["realtime_missed_ticks"] = gate["missed"]
+        extra["realtime_budget_ms"] = gate["budget_ms"]
+    except Exception as e:                      # pragma: no cover
+        extra["realtime_gate_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps({
         "metric": "mppi_solves_per_sec_K1920_T100",
         "value": round(headline, 2),

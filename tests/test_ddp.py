@@ -142,3 +142,61 @@ def test_line_search_multi_iteration():
     r3 = s3.run(params, x0, U, targets_x, targets_u, rngs[:, 0], rngs[:, 1])
     assert float(r3.cost) <= float(r1.cost) + 1e-3
     assert np.isfinite(np.asarray(r3.control_traj)).all()
+
+
+def test_multi_iteration_cost_monotone():
+    """Accepted cost is non-increasing in num_iterations: a failed line
+    search keeps the previous trajectory (the reference's alpha->0 accept,
+    ddp.h:136-143, made exact), so more iterations can never end worse."""
+    dt, T = 0.02, 40
+    model = NeuralNetDynamics(dt)
+    params = model.load_params(NN_NPZ)
+
+    x0 = np.array([0, 0, 0.3, 0, 4.0, 0.5, 0], dtype=np.float32)
+    U = np.tile(np.array([-0.3, 0.6], dtype=np.float32), (T, 1))
+    targets_x = np.tile(x0, (T, 1))
+    targets_u = np.zeros((T, 2), dtype=np.float32)
+    rngs = np.asarray(params["control_rngs"])
+
+    costs = []
+    for n in (1, 2, 4, 6):
+        s = DDPSolver(model, dt, T, DDPConfig(num_iterations=n))
+        r = s.run(params, x0, U, targets_x, targets_u,
+                  rngs[:, 0], rngs[:, 1])
+        assert np.isfinite(float(r.cost))
+        costs.append(float(r.cost))
+    for a, b in zip(costs, costs[1:]):
+        assert b <= a + 1e-3, costs
+
+
+def test_boxqp_ddp_respects_control_limits():
+    """use_boxqp solves the feedforward step against the box and zeroes
+    feedback rows of clamped controls (control-limited DDP; the reference
+    ships boxqp.h but never wires it in — here it is an opt-in)."""
+    dt, T = 0.02, 30
+    model = NeuralNetDynamics(dt)
+    params = model.load_params(NN_NPZ)
+
+    x0 = np.array([0, 0, 0, 0, 2.0, 0, 0], dtype=np.float32)
+    U = np.tile(np.array([0.0, 0.9], dtype=np.float32), (T, 1))
+    # Aggressive target far away => large feedforward that must clamp.
+    tgt = x0 + np.array([5, 5, 0, 0, 3, 0, 0], dtype=np.float32)
+    targets_x = np.tile(tgt, (T, 1))
+    targets_u = np.zeros((T, 2), dtype=np.float32)
+    lo = np.array([-0.2, -0.2], dtype=np.float32)
+    hi = np.array([0.2, 0.95], dtype=np.float32)
+
+    s = DDPSolver(model, dt, T, DDPConfig(num_iterations=2, use_boxqp=True))
+    r = s.run(params, x0, U, targets_x, targets_u, lo, hi)
+    ff = np.asarray(r.feedforward)
+    K = np.asarray(r.feedback_gain)
+    un = np.asarray(r.control_traj)
+    assert np.isfinite(ff).all() and np.isfinite(K).all()
+    # Feedforward step stays inside the delta-u box around the nominal.
+    assert (un >= lo - 1e-5).all() and (un <= hi + 1e-5).all()
+    # Wherever the QP clamped a control hard against the box, the
+    # corresponding feedback row must be (near-)zero.
+    clamped = (np.abs(un[:-1] - hi) < 1e-6) | (np.abs(un[:-1] - lo) < 1e-6)
+    if clamped.any():
+        rows = K[:-1][clamped]
+        assert np.abs(rows).max() < 1e-4

@@ -1,0 +1,39 @@
+"""Real-time gate (VERDICT round-1 weak item 7): the realtime loop —
+UDP plant + native pacer + dual-controller arbitration + feedback gains —
+must hold the reference's 50 Hz budget: p99 tick latency < 20 ms and zero
+missed deadlines (``run_control_loop.cuh:304-318`` role, asserted rather
+than assumed)."""
+
+import pytest
+
+from autorally_tpu.runtime.native import native_available
+from autorally_tpu.runtime.telemetry import TimingStats
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native lib unavailable")
+
+
+def test_timing_stats_percentiles_and_missed():
+    t = TimingStats()
+    for ms in [1.0, 2.0, 3.0, 100.0]:
+        t.update(20.0, ms, 0.0)
+    t.update(20.0, 5.0, 0.0, missed=2)
+    assert t.tick_percentile_ms(50.0) == 3.0
+    assert t.tick_percentile_ms(100.0) == 100.0
+    assert t.tick_percentile_ms(0.0) == 1.0
+    assert t.missed_ticks == 2
+    d = t.as_dict()
+    assert d["tickP99Ms"] == 100.0 and d["missedTicks"] == 2
+
+
+def test_realtime_loop_holds_50hz_budget():
+    from autorally_tpu.runtime.realtime_gate import run_realtime_gate
+
+    res = run_realtime_gate(pose_port=47960, control_port=47961,
+                            hz=50, seconds=3.0)
+    assert res["ticks"] >= 140, res
+    # The gate itself: p99 under the 20 ms period, no missed deadlines.
+    # Systematic latency cannot hide in the stall-retry: every attempt's
+    # p99 must clear the budget, not just the accepted one.
+    assert res["p99_all_attempts_ms"] < res["budget_ms"], res
+    assert res["missed"] == 0, res
