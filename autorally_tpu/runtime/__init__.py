@@ -16,6 +16,9 @@ from autorally_tpu.runtime.controllers import (ConstantSpeedController,
                                                JoystickController,
                                                SafeSpeedGovernor,
                                                ThrottleCalibration)
+from autorally_tpu.runtime.system_status import SystemStatusMonitor
+from autorally_tpu.runtime.telemetry_bus import (RunstopReceiver,
+                                                 TelemetryBus, send_runstop)
 
 __all__ = [
     "Controller", "BasePlant", "FullState", "SyntheticPlant", "ReplayPlant",
@@ -25,4 +28,6 @@ __all__ = [
     "ErrorStateEKF", "SolveTimer", "device_trace",
     "ConstantSpeedController", "GpsWaypointController",
     "JoystickController", "SafeSpeedGovernor", "ThrottleCalibration",
+    "SystemStatusMonitor", "TelemetryBus", "RunstopReceiver",
+    "send_runstop",
 ]

@@ -46,11 +46,13 @@ def run_control_loop(predicted: Controller, actual: Controller,
                      plant: BasePlant, cfg: ControlLoopConfig,
                      is_alive: Optional[Callable[[], bool]] = None,
                      monitor: Optional[StatusMonitor] = None,
-                     on_tick: Optional[Callable] = None) -> TimingStats:
+                     on_tick: Optional[Callable] = None,
+                     timing: Optional[TimingStats] = None) -> TimingStats:
     """Drive the dual controllers against the plant until ``max_iter`` ticks
-    or ``is_alive()`` goes false.  Returns the accumulated timing stats."""
+    or ``is_alive()`` goes false.  Returns the accumulated timing stats
+    (pass ``timing`` to observe them live, e.g. from a telemetry tick)."""
     alive = is_alive or (lambda: True)
-    timing = TimingStats()
+    timing = TimingStats() if timing is None else timing
     stride_default = cfg.optimization_stride
     period = stride_default / cfg.hz
 

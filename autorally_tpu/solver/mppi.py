@@ -37,6 +37,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from autorally_tpu.config import CostParams, MPPIConfig
@@ -45,7 +46,11 @@ from autorally_tpu.costs.mppi_cost import MPPICost
 from autorally_tpu.models.base import Dynamics
 
 # 5-tap Savitzky-Golay coefficients (mppi_controller.cu:475-476).
-SAVGOL_FILTER = jnp.array([-3.0, 12.0, 17.0, 12.0, -3.0]) / 35.0
+# numpy on purpose: a module-scope jnp.array would initialize the JAX
+# backend at import time, breaking CLI tools that flip jax_platforms
+# after importing the package; einsum converts it where it's used.
+SAVGOL_FILTER = np.array([-3.0, 12.0, 17.0, 12.0, -3.0],
+                         dtype=np.float32) / 35.0
 
 
 class SolveStats(NamedTuple):

@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--rollouts", type=int, default=1920)
     ap.add_argument("--timesteps", type=int, default=100)
     ap.add_argument("--desired-speed", type=float, default=6.0)
+    ap.add_argument("--telemetry-port", type=int, default=None,
+                    help="UDP port to feed the operator console "
+                         "(tools/console.py) on")
+    ap.add_argument("--runstop-port", type=int, default=None,
+                    help="UDP port to accept runstop commands on")
+    ap.add_argument("--log", default=None,
+                    help="append telemetry records to this JSONL run log")
     args = ap.parse_args()
 
     if args.cpu:
@@ -81,8 +88,39 @@ def main():
     # Start line: the segment x in [25, 35] on the +x side (y sign flip).
     laps = LapStats(line=(0.0, 0.0, 25.0, 35.0))
 
+    # observability: telemetry bus (console feed + JSONL run log), host
+    # telemetry, runstop backchannel — the OCS-facing side of the run
+    bus = sysmon = runstop_rx = None
+    diag_agg = None
+    if args.telemetry_port or args.log:
+        from autorally_tpu.runtime.diagnostics import DiagnosticsAggregator
+        from autorally_tpu.runtime.system_status import SystemStatusMonitor
+        from autorally_tpu.runtime.telemetry_bus import TelemetryBus
+
+        udp = ("127.0.0.1", args.telemetry_port) if args.telemetry_port \
+            else None
+        bus = TelemetryBus(jsonl_path=args.log, udp_addr=udp)
+        diag_agg = DiagnosticsAggregator(
+            on_publish=lambda report: bus.publish("diag", report))
+        sysmon = SystemStatusMonitor(diag_agg, period=5.0)
+        bus.publish("run", {"num_rollouts": cfg.num_rollouts,
+                            "num_timesteps": cfg.num_timesteps,
+                            "hz": cfg.hz, "plant": "synthetic_oval",
+                            "desired_speed": float(args.desired_speed)})
+    if args.runstop_port:
+        from autorally_tpu.runtime.telemetry_bus import RunstopReceiver
+
+        runstop_rx = RunstopReceiver(
+            args.runstop_port,
+            on_change=lambda en: plant.set_runstop(not en))
+
+    from autorally_tpu.runtime.telemetry import TimingStats
+    timing = TimingStats()
+    budget_ms = 1000.0 * cfg.optimization_stride / cfg.hz
+
     used_counts = {"actual": 0, "predicted": 0}
     t_wall = time.time()
+    last_slow = [0.0]                       # last 1 Hz publish wall time
 
     def on_tick(i, chosen, used, state):
         used_counts[used] += 1
@@ -91,6 +129,34 @@ def main():
         if rec:
             print(f"  LAP {rec.lap_number}: {rec.lap_time:.2f}s "
                   f"max_speed={rec.max_speed:.2f} max_slip={rec.max_slip:.3f}")
+            if bus is not None:
+                bus.publish("lap", {"lap_number": rec.lap_number,
+                                    "lap_time": rec.lap_time,
+                                    "max_speed": rec.max_speed,
+                                    "max_slip": rec.max_slip})
+        if bus is not None:
+            s = chosen.stats
+            bus.publish("solve", {
+                "tick": i, "x": float(state[0]), "y": float(state[1]),
+                "speed": float(state[4]), "used": used,
+                "ess": float(s.ess) if s else 0.0,
+                "crash_pct": 100.0 * float(s.crash_frac) if s else 0.0,
+                "traj_cost": chosen.get_computed_trajectory_cost()})
+            now = time.time()
+            if now - last_slow[0] >= 1.0:
+                last_slow[0] = now
+                d = timing.as_dict()
+                d["budget_ms"] = budget_ms
+                bus.publish("timing", d)
+                diag = monitor.diagnostic(plant.get_last_pose_time())
+                mppi = diag_agg.component("mppi")
+                push = {"ok": mppi.diag_ok, "warn": mppi.diag_warn,
+                        "error": mppi.diag_error}[diag["level"]]
+                push("status", diag["message"] or "ok")
+                snap = sysmon.maybe_sample(now)
+                if snap is not None:
+                    bus.publish("system", snap)
+                diag_agg.maybe_publish(now)
         if i % 100 == 0:
             diag = monitor.diagnostic(plant.get_last_pose_time())
             print(f"tick {i:4d} pos=({state[0]:+7.2f},{state[1]:+7.2f}) "
@@ -102,7 +168,13 @@ def main():
                              use_feedback_gains=cfg.use_feedback_gains,
                              max_iter=args.ticks)
     timing = run_control_loop(predicted, actual, plant, lcfg,
-                              monitor=monitor, on_tick=on_tick)
+                              monitor=monitor, on_tick=on_tick,
+                              timing=timing)
+    if bus is not None:
+        bus.publish("timing", {**timing.as_dict(), "budget_ms": budget_ms})
+        bus.close()
+    if runstop_rx is not None:
+        runstop_rx.close()
 
     print(f"\n{args.ticks} ticks in {time.time()-t_wall:.1f}s wall")
     print(f"controller usage: {used_counts}")
