@@ -118,3 +118,34 @@ def train_dynamics(model: NeuralNetDynamics, params, train: DynamicsDataset,
     best_params = {**params, "weights": best_wb["weights"],
                    "biases": best_wb["biases"]}
     return best_params, history
+
+
+def fold_standardization(params, feat_mean, feat_std,
+                         label_mean, label_std):
+    """Fold feature/label standardization into the first/last layers.
+
+    The reference trains on StandardScaler-transformed data and must
+    carry the scaler pickles to inference (``trainer.py:120-133``,
+    config.yml NOTE #2: forgetting them silently breaks predictions).
+    Folding the affine transforms into the weights instead produces a
+    raw-space model: with the framework's ``acts @ W`` convention,
+
+        W0' = W0 / s_f[:, None],      b0' = b0 - (m_f / s_f) @ W0
+        WL' = WL * s_l[None, :],      bL' = bL * s_l + m_l
+
+    so ``NN'(x) == unstandardize(NN(standardize(x)))`` exactly and the
+    exported ``.npz`` drops into the controller with no side files."""
+    import jax.numpy as jnp
+
+    W = [jnp.asarray(w, jnp.float32) for w in params["weights"]]
+    b = [jnp.asarray(x, jnp.float32) for x in params["biases"]]
+    fm = jnp.asarray(feat_mean, jnp.float32)
+    fs = jnp.asarray(feat_std, jnp.float32)
+    lm = jnp.asarray(label_mean, jnp.float32)
+    ls = jnp.asarray(label_std, jnp.float32)
+
+    b[0] = b[0] - (fm / fs) @ W[0]
+    W[0] = W[0] / fs[:, None]
+    b[-1] = b[-1] * ls + lm
+    W[-1] = W[-1] * ls[None, :]
+    return {**params, "weights": W, "biases": b}

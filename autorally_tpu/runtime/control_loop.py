@@ -26,7 +26,7 @@ import time
 from typing import Callable, Optional
 
 from autorally_tpu.runtime.controller import Controller
-from autorally_tpu.runtime.plant import BasePlant, SyntheticPlant
+from autorally_tpu.runtime.plant import BasePlant
 from autorally_tpu.runtime.telemetry import StatusMonitor, TimingStats
 
 
@@ -152,9 +152,10 @@ def run_control_loop(predicted: Controller, actual: Controller,
 
         tick_s = time.perf_counter() - tick_start
 
-        # advance / pace
+        # advance / pace: any plant exposing step_sim (SyntheticPlant,
+        # the physics SimVehiclePlant) advances in lockstep
         missed = 0
-        if not cfg.realtime and isinstance(plant, SyntheticPlant):
+        if not cfg.realtime and hasattr(plant, "step_sim"):
             plant.step_sim(stride_default)       # lockstep sim advance
             last_sleep = 0.0
         elif pacer is not None:

@@ -50,6 +50,11 @@ def main(argv=None) -> int:
     ap.add_argument("--start", default="30,0,1.5708,0,0,0,0",
                     help="initial state CSV [x,y,yaw,roll,ux,uy,yaw_mder]")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--log", default=None,
+                    help="write a multi-topic JSONL log (the 'rosbag "
+                         "record' role): ground_truth/state at the sim "
+                         "rate, chassisState at half rate, wheelSpeeds at "
+                         "a fifth — feeds autorally_tpu.ml.ingest")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -98,6 +103,43 @@ def main(argv=None) -> int:
     u = np.zeros(2, dtype=np.float32)
     t = 0.0
     n_ticks = int(args.duration * args.hz) if args.duration > 0 else -1
+    log = open(args.log, "w") if args.log else None
+
+    def log_topics(i):
+        """Emit rosbag-record-style per-topic rows at distinct rates
+        (ground-truth odometry with quaternion orientation, chassis
+        actuation, wheel speeds) so the ingest pipeline has real
+        multi-rate merging to do (process_bag.py role)."""
+        import json as _json
+        import math as _math
+
+        secs = int(t)
+        nsecs = int(round((t - secs) * 1e9))
+        hy, hr = 0.5 * float(state[2]), 0.5 * float(state[3])
+        cy, sy = _math.cos(hy), _math.sin(hy)
+        cr, sr = _math.cos(hr), _math.sin(hr)
+        # q = qz(yaw) * qx(roll), pitch = 0  (R = Rz Ry Rx convention)
+        log.write(_json.dumps({
+            "topic": "ground_truth/state", "secs": secs, "nsecs": nsecs,
+            "x": float(state[0]), "y": float(state[1]), "z": 0.0,
+            "qx": cy * sr, "qy": sy * sr, "qz": sy * cr, "qw": cy * cr,
+            "u_x": float(state[4]), "u_y": float(state[5]),
+            "yaw_mder": float(state[6])}) + "\n")
+        if i % 2 == 0:
+            log.write(_json.dumps({
+                "topic": "chassisState", "secs": secs, "nsecs": nsecs,
+                "steering": float(u[0]), "throttle": float(u[1]),
+                "frontBrake": 0.0}) + "\n")
+        if i % 5 == 0:
+            if args.physics:
+                w = np.asarray(sim_state.omega) * 0.095
+            else:
+                w = np.full(4, float(state[4]))
+            log.write(_json.dumps({
+                "topic": "wheelSpeeds", "secs": secs, "nsecs": nsecs,
+                "lfSpeed": float(w[0]), "rfSpeed": float(w[1]),
+                "lbSpeed": float(w[2]), "rbSpeed": float(w[3])}) + "\n")
+
     print(f"sim_node: {args.hz} Hz, pose->127.0.0.1:{args.pose_port}, "
           f"cmd<-:{args.control_port}", flush=True)
     try:
@@ -111,12 +153,16 @@ def main(argv=None) -> int:
             t += dt
             UdpLink.send(args.pose_port,
                          np.concatenate([[t], state]).astype(np.float32))
+            if log is not None:
+                log_topics(i)
             i += 1
     except KeyboardInterrupt:
         pass
     finally:
         ctrl_link.close()
         pacer.close()
+        if log is not None:
+            log.close()
     print(f"sim_node: done at t={t:.2f}s pos=({state[0]:.2f},{state[1]:.2f}) "
           f"speed={state[4]:.2f}", flush=True)
     return 0
