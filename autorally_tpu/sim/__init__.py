@@ -19,10 +19,13 @@ from autorally_tpu.sim.actuation import (ActuationLimits, SimCommand,
                                          SimCommandArbiter, ackermann_angles,
                                          wheel_speeds)
 from autorally_tpu.sim.plant import SimVehiclePlant
+from autorally_tpu.sim.sensors import (SensorSimConfig, SensorSimulator,
+                                       SimVehicleEstimatedPlant)
 
 __all__ = [
     "SimState", "VehicleParams", "vehicle_step", "init_sim_state",
     "controller_state", "ActuationLimits", "SimCommand",
     "SimCommandArbiter", "ackermann_angles", "wheel_speeds",
-    "SimVehiclePlant",
+    "SimVehiclePlant", "SensorSimConfig", "SensorSimulator",
+    "SimVehicleEstimatedPlant",
 ]
