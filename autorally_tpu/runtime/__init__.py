@@ -19,6 +19,9 @@ from autorally_tpu.runtime.controllers import (ConstantSpeedController,
 from autorally_tpu.runtime.system_status import SystemStatusMonitor
 from autorally_tpu.runtime.telemetry_bus import (RunstopReceiver,
                                                  TelemetryBus, send_runstop)
+from autorally_tpu.runtime.runstop_box import RunStopBox
+from autorally_tpu.runtime.vehicle_network import (VehicleNetworkCoordinator,
+                                                   VehicleNetworkNode)
 
 __all__ = [
     "Controller", "BasePlant", "FullState", "SyntheticPlant", "ReplayPlant",
@@ -29,5 +32,6 @@ __all__ = [
     "ConstantSpeedController", "GpsWaypointController",
     "JoystickController", "SafeSpeedGovernor", "ThrottleCalibration",
     "SystemStatusMonitor", "TelemetryBus", "RunstopReceiver",
-    "send_runstop",
+    "send_runstop", "RunStopBox", "VehicleNetworkCoordinator",
+    "VehicleNetworkNode",
 ]
