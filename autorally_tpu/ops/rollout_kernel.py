@@ -360,9 +360,16 @@ def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
     zero_rollout = (k_idx == 0.0) & (k0_flag > 0.5)
     pure_noise = k_idx >= pure_thresh
 
-    s0 = jnp.concatenate(
-        [jnp.full((1, K), sc[9 + i]) for i in range(7)]
-        + [jnp.zeros((1, K), jnp.float32)], axis=0)           # (SPAD, K)
+    # State carried as separate blocks — kinematics rows (1, K) each and
+    # the dynamics block d4 = [roll, u_x, u_y, yaw_mder] as one (4, K)
+    # panel — so the Euler update and the MLP input need no per-step
+    # concatenation (DESIGN.md §6 concat-free target; measured 0.2-0.4 us
+    # per concat per step per grid cell).
+    x0 = jnp.full((1, K), sc[9])
+    y0 = jnp.full((1, K), sc[10])
+    yaw0 = jnp.full((1, K), sc[11])
+    d40 = jnp.concatenate([jnp.full((1, K), sc[12 + i])
+                           for i in range(4)], axis=0)        # (4, K)
 
     def field_eval(x, y):
         """Neural track field at world (x, y) rows (1, L) -> (1, L).
@@ -396,7 +403,7 @@ def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
         return acts                                           # (1, L)
 
     def step(t, carry):
-        s, running, crash = carry
+        x, y, yaw, d4, running, crash = carry
         frozen = zero_rollout | (t.astype(jnp.float32) < opt_delay)
 
         eps_t = eps_ref[t]
@@ -413,13 +420,9 @@ def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
         u0 = jnp.clip(u0, lo0, hi0)
         u1 = jnp.clip(u1, lo1, hi1)
 
-        x = s[0:1, :]
-        y = s[1:2, :]
-        yaw = s[2:3, :]
-        roll = s[3:4, :]
-        ux = s[4:5, :]
-        uy = s[5:6, :]
-        yd = s[6:7, :]
+        ux = d4[1:2, :]
+        uy = d4[2:3, :]
+        yd = d4[3:4, :]
         cy = jnp.cos(yaw)
         sy = jnp.sin(yaw)
 
@@ -468,8 +471,17 @@ def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
         dx = cy * ux - sy * uy
         dy_ = sy * ux + cy * uy
         dyaw = -yd if negate_yaw_der else yd
-        acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
-        for i in range(n_layers):
+        # Layer 0 split: the (out, 4) @ d4 matmul plus rank-1 broadcast
+        # terms for the two controls — no (6, K) input materialization.
+        W0, b0 = wd[0], wd[1]
+        acts = (jax.lax.dot_general(
+            W0[:, 0:4], d4, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mm_prec)
+            + W0[:, 4:5] * u0 + W0[:, 5:6] * u1 + b0[:, :])
+        if n_layers > 1:
+            acts = jnp.tanh(acts)
+        for i in range(1, n_layers):
             W = wd[2 * i][:, :]
             b = wd[2 * i + 1][:, :]
             acts = jax.lax.dot_general(
@@ -478,19 +490,19 @@ def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
                 precision=mm_prec) + b
             if i < n_layers - 1:
                 acts = jnp.tanh(acts)
-        deriv = jnp.concatenate(
-            [dx, dy_, dyaw, acts, jnp.zeros((SPAD - 7, K), jnp.float32)],
-            axis=0)
-        s = s + deriv * dt
+        x = x + dx * dt
+        y = y + dy_ * dt
+        yaw = yaw + dyaw * dt
+        d4 = d4 + acts * dt
         # roll-over latch after the update (getCrash, costs.cu:301-305)
         crash = jnp.maximum(crash, jnp.where(
-            jnp.abs(s[3:4, :]) > 1.57, 1.0, 0.0))
-        return (s, running, crash)
+            jnp.abs(d4[0:1, :]) > 1.57, 1.0, 0.0))
+        return (x, y, yaw, d4, running, crash)
 
     running0 = jnp.zeros((1, K), jnp.float32)
     crash0 = jnp.zeros((1, K), jnp.float32)
-    s_fin, running, crash = jax.lax.fori_loop(
-        0, T, step, (s0, running0, crash0))
+    _, _, _, _, running, crash = jax.lax.fori_loop(
+        0, T, step, (x0, y0, yaw0, d40, running0, crash0))
     costs_out[0, :] = running[0]                              # + terminal 0
     crash_out[0, :] = crash[0]
 
