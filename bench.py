@@ -129,6 +129,9 @@ def main():
         extra["realtime_tick_p99_ms"] = gate["p99_ms"]
         extra["realtime_missed_ticks"] = gate["missed"]
         extra["realtime_budget_ms"] = gate["budget_ms"]
+        # 0 => every window hit hypervisor steal; p99/missed then grade
+        # the host, not the control stack (see realtime_gate docstring)
+        extra["realtime_clean_attempts"] = gate["clean_attempts"]
     except Exception as e:                      # pragma: no cover
         extra["realtime_gate_error"] = f"{type(e).__name__}: {e}"
 
