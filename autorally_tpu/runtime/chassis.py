@@ -30,8 +30,16 @@ import dataclasses
 import math
 import os
 import struct
-import threading
 from typing import Callable, Dict, List, Optional, Tuple
+
+# The chassis command/state records ARE the wire types — one definition
+# (autorally_msgs role) shared by the arbiter, the UDP deployments, and
+# the telemetry bus.
+from autorally_tpu.msgs import ChassisCommand, ChassisState
+
+__all__ = ["ActuatorConfig", "ChassisCommand", "ChassisState",
+           "ActuatorCalibration", "CommandArbiter", "ChassisLink",
+           "open_serial_port"]
 
 PI = math.pi
 
@@ -44,26 +52,6 @@ class ActuatorConfig:
     center: int = 1500
     max: int = 2000
     reverse: bool = False
-
-
-@dataclasses.dataclass
-class ChassisCommand:
-    sender: str
-    steering: float = -5.0       # values outside [-1,1] mean "not commanding"
-    throttle: float = -5.0
-    front_brake: float = -5.0
-    stamp: float = 0.0
-
-
-@dataclasses.dataclass
-class ChassisState:
-    steering: float = 0.0
-    throttle: float = 0.0
-    front_brake: float = 0.0
-    steering_commander: str = ""
-    throttle_commander: str = ""
-    front_brake_commander: str = ""
-    runstop_motion_enabled: bool = False
 
 
 class ActuatorCalibration:
@@ -200,8 +188,7 @@ class ChassisLink:
         self.autonomous_enabled = False
         self.throttle_relay_enabled = False
         self._buf = b""
-        self._running = False
-        self._thread: Optional[threading.Thread] = None
+        self._device = None    # SerialDeviceThreaded once start()ed
 
     # -- incoming ------------------------------------------------------------
 
@@ -266,43 +253,31 @@ class ChassisLink:
                  + struct.pack(">h", self.cal.cmd_to_us(front_brake,
                                                         "frontBrake"))
                  + b"\n")
-        os.write(self.fd, frame)
+        if self._device is not None:
+            self._device.write_port(frame)     # serialized (writePort role)
+        else:
+            os.write(self.fd, frame)
 
-    # -- reader thread -------------------------------------------------------
+    # -- reader thread (SerialDeviceThreaded transport) -----------------------
 
     def start(self) -> None:
-        self._running = True
-        self._thread = threading.Thread(target=self._read_loop, daemon=True)
-        self._thread.start()
+        from autorally_tpu.runtime.serial_device import SerialDeviceThreaded
 
-    def _read_loop(self) -> None:
-        while self._running:
-            try:
-                data = os.read(self.fd, 512)
-            except OSError:
-                break
-            if data:
-                self.process_bytes(data)
+        self._device = SerialDeviceThreaded(self.fd, name="chassis")
+        self._device.register_data_callback(
+            lambda: self.process_bytes(self._device.take()))
+        self._device.start()
 
     def stop(self) -> None:
-        self._running = False
-        if self._thread is not None:
-            self._thread.join(timeout=1.0)
+        if self._device is not None:
+            self._device.stop()
 
 
 def open_serial_port(device: str, baud: int = 115200) -> int:
-    """Open and configure a raw serial port via termios (stdlib-only;
-    the reference's SerialInterfaceThreaded role)."""
-    import termios
+    """Open and configure a raw serial port (delegates to the shared
+    serial transport layer, ``SerialCommon::connect`` role)."""
+    from autorally_tpu.runtime.serial_device import SerialSettings
+    from autorally_tpu.runtime.serial_device import \
+        open_serial_port as _open
 
-    fd = os.open(device, os.O_RDWR | os.O_NOCTTY)
-    attrs = termios.tcgetattr(fd)
-    speed = getattr(termios, f"B{baud}")
-    attrs[0] = 0                               # iflag: raw
-    attrs[1] = 0                               # oflag: raw
-    attrs[2] = (termios.CS8 | termios.CLOCAL | termios.CREAD)
-    attrs[3] = 0                               # lflag: raw
-    attrs[4] = speed
-    attrs[5] = speed
-    termios.tcsetattr(fd, termios.TCSANOW, attrs)
-    return fd
+    return _open(device, SerialSettings(baud=baud))

@@ -17,7 +17,6 @@ Output goes wherever the caller points it — typically
 
 from __future__ import annotations
 
-import os
 import threading
 import time
 from typing import Callable, Optional
@@ -47,7 +46,7 @@ class RunStopBox:
         self.last_message_time: Optional[float] = None
         self._buf = ""
         self._running = False
-        self._reader: Optional[threading.Thread] = None
+        self._device = None    # SerialDeviceThreaded once start()ed
         self._publisher: Optional[threading.Thread] = None
         self._lock = threading.Lock()
         self.published = 0
@@ -89,23 +88,17 @@ class RunStopBox:
     # -- threads -------------------------------------------------------------
 
     def start(self) -> None:
+        from autorally_tpu.runtime.serial_device import SerialDeviceThreaded
+
         self._running = True
-        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._device = SerialDeviceThreaded(self.fd, diagnostics=self.diag,
+                                            name="runstop_box")
+        self._device.register_data_callback(
+            lambda: self.process_bytes(self._device.take()))
+        self._device.start()
         self._publisher = threading.Thread(target=self._publish_loop,
                                            daemon=True)
-        self._reader.start()
         self._publisher.start()
-
-    def _read_loop(self) -> None:
-        while self._running:
-            try:
-                data = os.read(self.fd, 256)
-            except OSError:
-                break
-            if data:
-                self.process_bytes(data)
-            else:
-                time.sleep(0.01)
 
     def _publish_loop(self) -> None:
         while self._running:
@@ -128,6 +121,7 @@ class RunStopBox:
 
     def stop(self) -> None:
         self._running = False
-        for th in (self._reader, self._publisher):
-            if th is not None:
-                th.join(timeout=1.0)
+        if self._device is not None:
+            self._device.stop()
+        if self._publisher is not None:
+            self._publisher.join(timeout=1.0)

@@ -148,14 +148,20 @@ class ErrorStateEKF:
         I_KH = np.eye(15) - K @ H
         self.P = I_KH @ self.P @ I_KH.T + K @ Rm @ K.T
 
-    def gps_update(self, pos) -> None:
-        """Position fix (the GPS factor role)."""
+    def gps_update(self, pos, var=None) -> None:
+        """Position fix (the GPS factor role).  ``var`` — optional
+        per-axis measurement variance (e.g. a GPGST-known covariance
+        from :class:`~autorally_tpu.runtime.gps.GpsReceiver`); the
+        configured GPS noise otherwise."""
         if not self.initialized:
             return
         H = np.zeros((3, 15))
         H[:, 0:3] = np.eye(3)
         r = np.asarray(pos, dtype=float) - self.p
-        Rm = np.eye(3) * self.cfg.gps_pos_noise ** 2
+        if var is None:
+            Rm = np.eye(3) * self.cfg.gps_pos_noise ** 2
+        else:
+            Rm = np.diag(np.broadcast_to(np.asarray(var, float), (3,)))
         self._apply_correction(H, r, Rm)
 
     def velocity_update(self, body_vel, var: Optional[float] = None) -> None:

@@ -27,10 +27,23 @@ def test_timing_stats_percentiles_and_missed():
 
 
 def test_realtime_loop_holds_50hz_budget():
-    from autorally_tpu.runtime.realtime_gate import run_realtime_gate
+    # Run the gate in a fresh interpreter (the deployment shape, and how
+    # bench.py invokes it): inside the full suite this process carries
+    # daemon threads and jax state from hundreds of earlier tests, whose
+    # wakeups contaminate tail latency that the steal sentinel — which
+    # only sees whole-VM stalls — rightly does not excuse.
+    import json
+    import subprocess
+    import sys
 
-    res = run_realtime_gate(pose_port=47960, control_port=47961,
-                            hz=50, seconds=3.0)
+    boot = ("import jax; jax.config.update('jax_platforms','cpu'); "
+            "from autorally_tpu.runtime.realtime_gate import main; "
+            "main(['--seconds','3.0',"
+            "'--pose-port','47960','--control-port','47961'])")
+    out = subprocess.run([sys.executable, "-c", boot],
+                         capture_output=True, text=True, timeout=240)
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["ticks"] >= 140, res
     if res["clean_attempts"] == 0:
         # The sentinel saw hypervisor-steal stalls in every window: the
