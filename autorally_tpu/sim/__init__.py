@@ -21,11 +21,18 @@ from autorally_tpu.sim.actuation import (ActuationLimits, SimCommand,
 from autorally_tpu.sim.plant import SimVehiclePlant
 from autorally_tpu.sim.sensors import (SensorSimConfig, SensorSimulator,
                                        SimVehicleEstimatedPlant)
+from autorally_tpu.sim.description import (DEFAULT_URDF, VehicleDescription,
+                                           WorldDescription, load_urdf,
+                                           load_world,
+                                           sensor_config_from_description,
+                                           vehicle_params_from_description)
 
 __all__ = [
     "SimState", "VehicleParams", "vehicle_step", "init_sim_state",
     "controller_state", "ActuationLimits", "SimCommand",
     "SimCommandArbiter", "ackermann_angles", "wheel_speeds",
     "SimVehiclePlant", "SensorSimConfig", "SensorSimulator",
-    "SimVehicleEstimatedPlant",
+    "SimVehicleEstimatedPlant", "DEFAULT_URDF", "VehicleDescription",
+    "WorldDescription", "load_urdf", "load_world",
+    "sensor_config_from_description", "vehicle_params_from_description",
 ]

@@ -44,6 +44,12 @@ def main(argv=None) -> int:
                     help="integrate the independent four-wheel physics "
                          "model (autorally_tpu.sim) instead of the learned "
                          "dynamics — the Gazebo-oracle configuration")
+    ap.add_argument("--urdf", default=None,
+                    help="vehicle description file for --physics (defaults "
+                         "to the bundled assets/autorally_platform.urdf)")
+    ap.add_argument("--world", default=None,
+                    help="world JSON (spawn pose + surface friction "
+                         "override); overrides --start")
     ap.add_argument("--hz", type=int, default=50)
     ap.add_argument("--duration", type=float, default=30.0,
                     help="seconds of simulated driving (<=0: forever)")
@@ -71,13 +77,26 @@ def main(argv=None) -> int:
     dt = 1.0 / args.hz
     state = np.array([float(v) for v in args.start.split(",")],
                      dtype=np.float32)
+    world = None
+    if args.world is not None:
+        from autorally_tpu.sim.description import load_world
+
+        world = load_world(args.world)
+        state = np.zeros(7, dtype=np.float32)
+        state[0], state[1], state[2] = (world.spawn_x, world.spawn_y,
+                                        world.spawn_yaw)
 
     if args.physics:
-        from autorally_tpu.sim.vehicle import (VehicleParams,
-                                               controller_state,
+        from autorally_tpu.sim.description import (
+            DEFAULT_URDF, load_urdf, vehicle_params_from_description)
+        from autorally_tpu.sim.vehicle import (controller_state,
                                                init_sim_state, vehicle_step)
 
-        vp = VehicleParams()
+        overrides = {}
+        if world is not None and world.mu is not None:
+            overrides["mu"] = world.mu
+        vp = vehicle_params_from_description(
+            load_urdf(args.urdf or DEFAULT_URDF), **overrides)
         sim_state = init_sim_state(x=float(state[0]), y=float(state[1]),
                                    yaw=float(state[2]), vx=float(state[4]))
         phys_step = jax.jit(
