@@ -74,6 +74,15 @@ PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
 
 
 def _prec(name: str):
+    """Kernel-side precision: Mosaic lowers only DEFAULT (1-pass bf16)
+    and HIGHEST (6-pass) dots — Precision.HIGH raises NotImplementedError
+    in the TPU lowering — so ``"high"`` rounds up to HIGHEST inside
+    kernels (the XLA paths still honor the real 3-pass HIGH).  Measured
+    on v5e (K=65536, T=100 exact-fused): default saves ~13% per solve at
+    ~3e-3 max control drift over 20 chained solves; highest is the
+    parity default."""
+    if name == "high":
+        return jax.lax.Precision.HIGHEST
     return PRECISIONS[name]
 
 
