@@ -539,6 +539,78 @@ def enu_from_geodetic(ref: Tuple[float, float, float],
     return east, north, up
 
 
+def geodetic_from_enu(ref: Tuple[float, float, float],
+                      east: float, north: float,
+                      up: float = 0.0) -> Tuple[float, float, float]:
+    """Inverse of :func:`enu_from_geodetic` (Newton refinement; mm-exact
+    at track scale).  Used to synthesize NMEA streams from simulator
+    ground truth — the Gazebo GPS plugin's job."""
+    lat, lon, alt = ref
+    lat_r = math.radians(ref[0])
+    m_rad = _WGS84_A * (1 - _WGS84_E2) / (
+        1 - _WGS84_E2 * math.sin(lat_r) ** 2) ** 1.5
+    n_rad = _WGS84_A / math.sqrt(1 - _WGS84_E2 * math.sin(lat_r) ** 2)
+    for _ in range(3):
+        e, n, u = enu_from_geodetic(ref, lat, lon, alt)
+        lat += math.degrees((north - n) / m_rad)
+        lon += math.degrees((east - e) / (n_rad * math.cos(lat_r)))
+        alt += up - u
+    return lat, lon, alt
+
+
+def _dm_format(deg: float, is_lat: bool) -> Tuple[str, str]:
+    """Decimal degrees -> (DDMM.MMMMMM, hemisphere) NMEA field pair."""
+    hemi = ("N" if deg >= 0 else "S") if is_lat else (
+        "E" if deg >= 0 else "W")
+    deg = abs(deg)
+    d = int(deg)
+    minutes = (deg - d) * 60.0
+    width = 2 if is_lat else 3
+    return f"{d:0{width}d}{minutes:09.6f}", hemi
+
+
+def nmea_checksum(body: str) -> str:
+    acc = 0
+    for ch in body:
+        acc ^= ord(ch)
+    return f"{acc:02X}"
+
+
+class GpsNmeaSimulator:
+    """Synthesizes the receiver's wire stream from simulator ground
+    truth: local ENU position -> geodetic -> ``$GPGGA`` (+ optional
+    ``$GPGST`` std devs), checksummed.  Closes the loop sim -> bytes ->
+    :class:`GpsReceiver` -> :class:`GpsEstimatorBridge` -> EKF with the
+    real parser in the path (the Gazebo gps plugin role)."""
+
+    def __init__(self, ref: Tuple[float, float, float] = (33.7805,
+                                                          -84.4005, 250.0),
+                 quality: int = 4, sigma: float = 0.02):
+        self.ref = ref
+        self.quality = quality
+        self.sigma = sigma
+
+    def sentences(self, t: float, x: float, y: float,
+                  z: float = 0.0) -> bytes:
+        lat, lon, alt = geodetic_from_enu(self.ref, x, y, z)
+        hh = int(t // 3600) % 24
+        mm = int(t // 60) % 60
+        ss = t % 60.0
+        utc = f"{hh:02d}{mm:02d}{ss:05.2f}"
+        lat_s, lat_h = _dm_format(lat, True)
+        lon_s, lon_h = _dm_format(lon, False)
+        geoid = -30.0
+        gga = (f"GPGGA,{utc},{lat_s},{lat_h},{lon_s},{lon_h},"
+               f"{self.quality},15,0.8,{alt - geoid:.3f},M,{geoid:.1f},M,"
+               "1.0,0001")
+        gst = (f"GPGST,{utc},1.2,{self.sigma},{self.sigma},0.0,"
+               f"{self.sigma},{self.sigma},{2 * self.sigma}")
+        # GST precedes GGA so the fix publishes with this epoch's
+        # covariance already applied (the receiver publishes on GGA)
+        return (f"${gst}*{nmea_checksum(gst)}\r\n"
+                f"${gga}*{nmea_checksum(gga)}\r\n").encode()
+
+
 class GpsEstimatorBridge:
     """NMEA fix -> EKF position update in the local frame.
 
