@@ -14,16 +14,22 @@ chunk reassembly are radio-link artifacts with no role here):
 
 - :class:`VehicleNetworkCoordinator` — registry + fan-out hub: accepts
   ``hi`` registrations, rebroadcasts every vehicle's pose to the other
-  vehicles, and broadcasts the base runstop at ``runstop_hz``.
+  vehicles, broadcasts the base runstop at ``runstop_hz``, and relays
+  RTK correction frames from the base GPS to every vehicle (the
+  XbeeCoordinator ``transmitRTCM`` role — plug
+  :meth:`broadcast_correction` into ``GpsBase.on_correction``).
 - :class:`VehicleNetworkNode` — per-vehicle endpoint: registers,
   transmits the local pose at a capped rate, exposes the latest pose of
   every *other* vehicle (the ``m_recOdomPublishers`` role — e.g. to
   feed :class:`autorally_tpu.costs.obstacles.ObstacleCost` with moving
-  obstacles) and the coordinator's runstop with 1 s staleness-to-stop.
+  obstacles), receives corrections (``on_correction`` — plug
+  ``GpsRover.handle_correction`` in), and the coordinator's runstop
+  with 1 s staleness-to-stop.
 """
 
 from __future__ import annotations
 
+import base64
 import json
 import socket
 import threading
@@ -127,6 +133,19 @@ class VehicleNetworkCoordinator(_UdpEndpoint):
                 self.send(msg, addr)
             time.sleep(self._runstop_period)
 
+    def broadcast_correction(self, msg_type: int, frame: bytes) -> int:
+        """Relay one RTCM3 correction frame to every registered vehicle
+        (XbeeCoordinator's RTCM broadcast; chunk reassembly is a radio
+        artifact — UDP carries the frame whole).  Signature matches
+        ``GpsBase.on_correction``.  Returns the number of recipients."""
+        with self._lock:
+            targets = [a for a, _ in self.vehicles.values()]
+        payload = {"kind": "rtcm3", "type": msg_type,
+                   "data": base64.b64encode(frame).decode()}
+        for addr in targets:
+            self.send(payload, addr)
+        return len(targets)
+
     def active_vehicles(self, stale_s: float = 5.0) -> list:
         now = time.time()
         with self._lock:
@@ -140,12 +159,15 @@ class VehicleNetworkNode(_UdpEndpoint):
     def __init__(self, vehicle: str, coordinator: Tuple[str, int],
                  port: int = 0, transmit_hz: float = 5.0,
                  on_peer_pose: Optional[Callable[[str, dict], None]] = None,
+                 on_correction: Optional[Callable[[bytes], None]] = None,
                  host: str = "127.0.0.1"):
         super().__init__(port, host)
         self.vehicle = vehicle
         self.coordinator = coordinator
         self.transmit_period = 1.0 / transmit_hz
         self.on_peer_pose = on_peer_pose
+        self.on_correction = on_correction
+        self.corrections_received = 0
         self.peer_poses: Dict[str, dict] = {}
         self._last_runstop: Optional[float] = None
         self._runstop_enabled = False
@@ -162,6 +184,14 @@ class VehicleNetworkNode(_UdpEndpoint):
         if kind == "runstop":
             self._last_runstop = time.time()
             self._runstop_enabled = bool(msg.get("motionEnabled", False))
+        elif kind == "rtcm3":
+            try:
+                frame = base64.b64decode(msg.get("data", ""))
+            except (ValueError, TypeError):
+                return
+            self.corrections_received += 1
+            if self.on_correction is not None:
+                self.on_correction(frame)      # -> GpsRover.handle_correction
         elif kind == "pose":
             sender = str(msg.get("vehicle", "?"))
             if sender == self.vehicle:

@@ -178,3 +178,82 @@ class TestVehicleNetwork:
             me.close()
             other.close()
             coord.close()
+
+
+def test_rtk_corrections_relay_base_to_rovers():
+    """The full reference RTK chain (XBee transmitRTCM role): base GPS
+    port B -> coordinator broadcast -> vehicle node -> rover port B."""
+    import os
+    import pty
+
+    from autorally_tpu.runtime.gps import GpsBase, GpsRover
+    from autorally_tpu.runtime.serial_device import (SerialSettings,
+                                                     configure_port)
+    from autorally_tpu.runtime.vehicle_network import (
+        VehicleNetworkCoordinator, VehicleNetworkNode)
+
+    def raw_pair():
+        m, s = pty.openpty()
+        configure_port(s, SerialSettings())
+        return m, s
+
+    ma, sa = raw_pair()
+    mb, sb = raw_pair()
+    mc, sc = raw_pair()
+    md, sd = raw_pair()
+    coord = VehicleNetworkCoordinator(port=0)
+    coord.start()
+    rover = GpsRover(sc, sd)
+    node = VehicleNetworkNode("alpha", ("127.0.0.1", coord.port),
+                              on_correction=rover.handle_correction)
+    base = GpsBase(sa, sb, on_correction=coord.broadcast_correction)
+    try:
+        node.start()
+        rover.start()
+        base.start()
+        deadline = time.time() + 5.0
+        while time.time() < deadline and not coord.active_vehicles():
+            time.sleep(0.02)
+        assert coord.active_vehicles() == ["alpha"]
+
+        rtcm = (bytes([0xD3, 0x00, 0x02, 1004 >> 4, (1004 & 0xF) << 4])
+                + b"\x00\x00\x00")
+        os.write(mb, rtcm)                     # base GPS emits a frame
+        deadline = time.time() + 5.0
+        while time.time() < deadline and node.corrections_received == 0:
+            time.sleep(0.02)
+        assert node.corrections_received == 1
+        assert os.read(md, 64) == rtcm         # landed on the rover's port B
+        assert rover.corrections_fresh
+    finally:
+        base.stop()
+        rover.stop()
+        node.close()
+        coord.close()
+        for fd in (ma, mb, mc, md, sa, sb, sc, sd):
+            try:
+                os.close(fd)
+            except OSError:
+                pass
+
+
+def test_timing_and_lap_stats_wire_bridges():
+    from autorally_tpu import msgs
+    from autorally_tpu.config import MPPIConfig
+    from autorally_tpu.runtime.telemetry import LapRecord, LapStats, TimingStats
+
+    t = TimingStats()
+    t.update(20.0, 11.0, 8.0)
+    msg = t.as_msg(stamp=5.0)
+    assert isinstance(msg, msgs.PathIntegralTiming)
+    assert abs(msg.average_optimization_cycle_time - 0.011) < 1e-12
+    assert msgs.decode(msgs.encode(msg)) == msg
+
+    rec = LapRecord(lap_number=2, lap_time=58.7, max_speed=5.8,
+                    max_slip=0.09)
+    stats = LapStats.record_as_msg(rec, cfg=MPPIConfig(), tag="r2",
+                                   stamp=6.0)
+    assert isinstance(stats, msgs.PathIntegralStats)
+    assert stats.stats.lap_time == 58.7
+    assert stats.params.hz == 50 and stats.params.num_timesteps == 100
+    assert msgs.decode(msgs.encode(stats)) == stats
