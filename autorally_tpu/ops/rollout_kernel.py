@@ -645,8 +645,19 @@ def fused_rollout_cost_pallas(model, model_params, cfg, cost_params, field,
 # need it.  Measured: 13.1M lookups in ~16 ms with the 256x256 window
 # (4.4x the XLA gather), putting the exact fused solve within the
 # neural-field kernel's envelope.
+#
+# Window sizing: the one-hot row select costs O(RW * 128) per lane
+# group per step REGARDLESS of K, so RW is the exact path's dominant
+# knob.  The swarm at any single timestep is spatially tight (all
+# rollouts share the start state; cross-K spread after a 2 s horizon is
+# a few meters), so 64 rows (32 m at the reference's 2 px/m) keeps the
+# fast path proven everywhere while quartering the gather cost.
+# Measured (v5e, chained solves, bit-identical controls): K=1920
+# 270->396 solves/s, K=65536 38.6->50.2 vs the 256-row window; 32 rows
+# is slightly better at K=65536 but worse at K=1920 and has less
+# spread headroom.
 
-EXACT_WIN_ROWS = 256      # dynamic-window height in map rows (8-aligned)
+EXACT_WIN_ROWS = 64       # dynamic-window height in map rows (8-aligned)
 EXACT_WIN_BLOCKS = 2      # window width in 128-lane column panels
 EXACT_VMEM_BUDGET = 6 * 1024 * 1024   # max costmap bytes held in VMEM
 
