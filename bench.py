@@ -132,6 +132,8 @@ def main():
         # 0 => every window hit hypervisor steal; p99/missed then grade
         # the host, not the control stack (see realtime_gate docstring)
         extra["realtime_clean_attempts"] = gate["clean_attempts"]
+        extra["realtime_min_missed"] = gate.get("min_missed")
+        extra["realtime_strict_attempts"] = gate.get("strict_attempts")
     except Exception as e:                      # pragma: no cover
         extra["realtime_gate_error"] = f"{type(e).__name__}: {e}"
 
