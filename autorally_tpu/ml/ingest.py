@@ -217,6 +217,13 @@ def ingest_log(path: str, topics: Optional[List[dict]] = None,
         rs = spec.get("resample", {})
         if rs.get("cols"):
             if not rs.get("upsampling_factor"):
+                # match-the-first-topic convention: resample this topic to
+                # the row count an earlier topic established
+                if sample_rate is None:
+                    raise ValueError(
+                        f"topic '{name}': the first resampled topic must "
+                        "set explicit upsampling_factor/downsampling_factor"
+                        " — there is no earlier topic to match")
                 up, down = sample_rate, len(td.df)
             else:
                 up, down = rs["upsampling_factor"], rs["downsampling_factor"]

@@ -147,9 +147,14 @@ class GpsWaypointController:
             theta = yaw
         self._prev_xy = (x, y)
 
-        # advance past reached waypoints (cyclic, :135-145)
+        # advance past reached waypoints (cyclic, :135-145), at most one
+        # full cycle: if every waypoint is within ``radius`` the rotation
+        # can never exit, so steer for the current front instead of
+        # spinning the control thread forever
         xn, yn = self.wpts[0]
-        while math.hypot(x - xn, y - yn) < self.radius:
+        for _ in range(len(self.wpts)):
+            if math.hypot(x - xn, y - yn) >= self.radius:
+                break
             self.wpts.append(self.wpts.pop(0))
             xn, yn = self.wpts[0]
 

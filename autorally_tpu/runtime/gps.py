@@ -330,7 +330,12 @@ class GpsReceiver:
         self._tick("GPGST")
         now = self.clock()
         self._maybe_expire_covariance(now)
-        if tokens[6] == "" or float(tokens[1] or 0) <= 100:
+        # No-data guard: a receiver without a fix emits empty fields.  The
+        # reference gates on ``atof(utc) > 100`` (GPSHemisphere.cpp:696),
+        # which also silently discards every GST in the first 61 s of the
+        # UTC day (and any sim clock starting near 0); checking the fields
+        # for emptiness keeps the intent without the dead window.
+        if tokens[6] == "" or tokens[1] == "":
             return
         lat_sd = float(tokens[6])
         lon_sd = float(tokens[7])

@@ -54,27 +54,15 @@ class RunStopBox:
     # -- framing (RunStop::processData, RunStop.cpp:84-115) ------------------
 
     def process_bytes(self, data: bytes) -> None:
-        with self._lock:
-            self._buf += data.decode(errors="replace")
-            while self._process_one():
-                pass
+        from autorally_tpu.runtime.serial_device import scan_hash_frames
 
-    def _process_one(self) -> bool:
-        start = self._buf.find("#")
-        if start > 0:
-            self._buf = self._buf[start:]
-        start = self._buf.find("#")
-        end = self._buf.find("\r\n")
-        if start == 0 and end != -1:
-            message = self._buf[:end]
-            colon = message.find(":")
-            self.state = message[colon + 1:]
-            self.last_message_time = time.time()
-            self._buf = self._buf[end + 2:]
-            return True
-        if start > 0:                            # unreachable garbage guard
-            self._buf = self._buf[start:]
-        return False
+        with self._lock:
+            frames, self._buf = scan_hash_frames(
+                self._buf + data.decode(errors="replace"))
+            for message in frames:
+                colon = message.find(":")
+                self.state = message[colon + 1:]
+                self.last_message_time = time.time()
 
     @property
     def motion_enabled(self) -> bool:

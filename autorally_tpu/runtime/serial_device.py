@@ -256,3 +256,36 @@ class SerialDeviceThreaded:
     def _diag_error(self, msg: str) -> None:
         if self.diag is not None:
             self.diag.diag_error(self.name, msg)
+
+
+def scan_hash_frames(buf: str, max_partial: int = 4096):
+    """Scan a ``#``-prefixed, CRLF-terminated serial text stream.
+
+    The framing shared by the runstop box (``RunStop::processData``,
+    ``RunStop.cpp:84-115``) and the camera trigger (``findMessage``):
+    frames look like ``#key:value\\r\\n``.  Returns ``(frames, rest)``
+    where ``frames`` are the complete payloads (leading ``#`` stripped,
+    CRLF excluded) and ``rest`` is the unconsumed tail to carry into the
+    next read.  Garbage before a ``#`` is discarded, and a partial frame
+    that grows past ``max_partial`` without its CRLF (wrong-baud noise)
+    is dropped to the next ``#`` — the buffer can never grow unboundedly
+    on a line that never frames.
+    """
+    frames = []
+    while True:
+        start = buf.find("#")
+        if start == -1:
+            return frames, ""
+        if start:
+            buf = buf[start:]
+        end = buf.find("\r\n")
+        if end == -1:
+            if len(buf) > max_partial:
+                nxt = buf.find("#", 1)
+                if nxt == -1:
+                    return frames, ""
+                buf = buf[nxt:]
+                continue
+            return frames, buf
+        frames.append(buf[1:end])
+        buf = buf[end + 2:]

@@ -19,19 +19,35 @@ import math
 from typing import List, Optional
 
 
+def _nearest_rank(sorted_samples, p: float) -> float:
+    """Nearest-rank percentile of an ascending list, p in [0, 100]."""
+    idx = min(len(sorted_samples) - 1,
+              max(0, int(round(p / 100.0 * (len(sorted_samples) - 1)))))
+    return sorted_samples[idx]
+
+
 class TimingStats:
     """Running averages over loop iterations (run_control_loop.cuh:315-318):
     avg = (n-1)/n * avg + sample/n — plus raw tick samples for percentile
     gating (the real-time gate: p99 tick < budget, missed == 0), which the
-    reference never recorded."""
+    reference never recorded.
 
-    def __init__(self):
+    Tick samples are kept in a trailing window (default 16384 ticks ≈
+    5.5 min at 50 Hz) so an always-on deployment loop cannot grow memory
+    without bound; the averages and ``missed_ticks`` remain whole-run.
+    Callers that index ``tick_samples_ms`` positionally (the real-time
+    gate) run far fewer ticks per pass than the window, so alignment with
+    their own per-tick marks is preserved."""
+
+    def __init__(self, window: int = 16384):
+        import collections
+
         self.num_iter = 0
         self.avg_loop_ms = 0.0       # time between pose estimates
         self.avg_tick_ms = 0.0       # optimization tick time
         self.avg_sleep_ms = 0.0
-        self.tick_samples_ms: list = []
-        self.missed_samples: list = []   # per-tick deadline overruns
+        self.tick_samples_ms = collections.deque(maxlen=window)
+        self.missed_samples = collections.deque(maxlen=window)
         self.missed_ticks = 0        # whole deadline periods overrun
 
     def update(self, loop_ms: float, tick_ms: float, sleep_ms: float,
@@ -46,20 +62,19 @@ class TimingStats:
         self.missed_ticks += int(missed)
 
     def tick_percentile_ms(self, p: float) -> float:
-        """p in [0, 100]; nearest-rank percentile of tick times."""
+        """p in [0, 100]; nearest-rank percentile of windowed tick times."""
         if not self.tick_samples_ms:
             return 0.0
-        s = sorted(self.tick_samples_ms)
-        idx = min(len(s) - 1, max(0, int(round(p / 100.0 * (len(s) - 1)))))
-        return s[idx]
+        return _nearest_rank(sorted(self.tick_samples_ms), p)
 
     def as_dict(self) -> dict:
+        s = sorted(self.tick_samples_ms)        # one sort for both ranks
         return {
             "averageTimeBetweenPoses": self.avg_loop_ms,
             "averageOptimizationCycleTime": self.avg_tick_ms,
             "averageSleepTime": self.avg_sleep_ms,
-            "tickP50Ms": self.tick_percentile_ms(50.0),
-            "tickP99Ms": self.tick_percentile_ms(99.0),
+            "tickP50Ms": _nearest_rank(s, 50.0) if s else 0.0,
+            "tickP99Ms": _nearest_rank(s, 99.0) if s else 0.0,
             "missedTicks": self.missed_ticks,
         }
 

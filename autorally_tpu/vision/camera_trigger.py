@@ -54,18 +54,12 @@ class CameraTrigger:
     # -- incoming (findMessage + triggerDataCallback) ----------------------------
 
     def process_bytes(self, data: bytes) -> None:
-        self._buf += data.decode(errors="replace")
-        while True:
-            start = self._buf.find("#")
-            if start < 0:
-                self._buf = ""
-                return
-            end = self._buf.find("\r\n", start)
-            if end < 0:
-                self._buf = self._buf[start:]
-                return
-            self._process_message(self._buf[start + 1:end])
-            self._buf = self._buf[end + 2:]
+        from autorally_tpu.runtime.serial_device import scan_hash_frames
+
+        frames, self._buf = scan_hash_frames(self._buf + data.decode(
+            errors="replace"))
+        for msg in frames:
+            self._process_message(msg)
 
     def _process_message(self, msg: str) -> None:
         for token in msg.replace("\n", ",").split(","):

@@ -24,6 +24,7 @@
 #include <cstdint>
 #include <cstring>
 #include <ctime>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -45,6 +46,13 @@ struct Ring {
   std::atomic<uint64_t> head{0};  // next write slot (producer)
   std::atomic<uint64_t> tail{0};  // next read slot (consumer)
   std::atomic<uint64_t> dropped{0};
+  // Per-slot seqlock: 2*n+1 while record n is being written into the
+  // slot, 2*(n+1) once it is complete.  Lets the consumer *prove* the
+  // record it copied is the un-torn record `tail` — the previous
+  // head-distance heuristic could not distinguish "producer is
+  // overwriting this slot right now" from "ring is exactly full and the
+  // producer is idle", which livelocked pop on a full, quiescent ring.
+  std::unique_ptr<std::atomic<uint64_t>[]> seq;
 };
 
 void* artpu_ring_create(size_t capacity, size_t record_len) {
@@ -52,6 +60,9 @@ void* artpu_ring_create(size_t capacity, size_t record_len) {
   r->capacity = capacity;
   r->record_len = record_len;
   r->data.resize(capacity * record_len);
+  r->seq.reset(new std::atomic<uint64_t>[capacity]);
+  for (size_t i = 0; i < capacity; i++)
+    r->seq[i].store(0, std::memory_order_relaxed);
   return r;
 }
 
@@ -59,8 +70,9 @@ void artpu_ring_destroy(void* h) { delete static_cast<Ring*>(h); }
 
 // Producer: push one record.  Overwrites the oldest record when full
 // (latest-wins semantics for pose streams).  Returns 1 if a record was
-// dropped to make room.  Tail is advanced with CAS because the consumer
-// also advances it — a plain store could move it backwards.
+// dropped to make room (0 if the CAS lost — the consumer popped the
+// oldest record instead, so nothing was lost).  Tail is advanced with
+// CAS because the consumer also advances it.
 int artpu_ring_push(void* h, const float* rec) {
   Ring* r = static_cast<Ring*>(h);
   uint64_t head = r->head.load(std::memory_order_relaxed);
@@ -69,35 +81,44 @@ int artpu_ring_push(void* h, const float* rec) {
   if (head - tail >= r->capacity) {
     // drop the oldest; if the CAS loses, the consumer popped it instead
     if (r->tail.compare_exchange_strong(tail, tail + 1,
-                                        std::memory_order_acq_rel))
+                                        std::memory_order_acq_rel)) {
       r->dropped.fetch_add(1, std::memory_order_relaxed);
-    dropped = 1;
+      dropped = 1;
+    }
   }
-  std::memcpy(&r->data[(head % r->capacity) * r->record_len], rec,
+  size_t slot = head % r->capacity;
+  r->seq[slot].store(2 * head + 1, std::memory_order_relaxed);  // writing
+  std::atomic_thread_fence(std::memory_order_release);
+  std::memcpy(&r->data[slot * r->record_len], rec,
               r->record_len * sizeof(float));
+  r->seq[slot].store(2 * (head + 1), std::memory_order_release);
   r->head.store(head + 1, std::memory_order_release);
   return dropped;
 }
 
 // Consumer: pop the oldest record.  Returns 1 on success, 0 if empty.
-// Torn-read safety: the producer memcpy-s record n into slot n%capacity
-// BEFORE publishing head=n+1, so slot tail%capacity may be mid-overwrite
-// as soon as the in-flight record index reaches tail+capacity — i.e. as
-// soon as the *published* head reaches tail+capacity (the producer may
-// already be writing when head2-tail == capacity).  Re-check with >= and
-// retry; claim the record with CAS so a concurrent producer drop of the
-// same record is detected.
+// Torn-read safety via the per-slot seqlock: the copy is valid iff the
+// slot's sequence read before and after the copy both equal
+// 2*(tail+1) — i.e. the slot held the completed record `tail` for the
+// whole copy.  Any mismatch means the producer overwrote (or is
+// overwriting) the slot with record tail+capacity; in that case the
+// producer has already CAS-advanced tail, so the reload makes progress
+// (no livelock on a full, idle ring — its records validate and pop).
+// The record is then claimed by CAS so a concurrent producer drop of
+// the same record is never double-counted.
 int artpu_ring_pop(void* h, float* out) {
   Ring* r = static_cast<Ring*>(h);
   for (;;) {
     uint64_t tail = r->tail.load(std::memory_order_acquire);
     uint64_t head = r->head.load(std::memory_order_acquire);
     if (tail >= head) return 0;
-    std::memcpy(out, &r->data[(tail % r->capacity) * r->record_len],
+    size_t slot = tail % r->capacity;
+    uint64_t s1 = r->seq[slot].load(std::memory_order_acquire);
+    std::memcpy(out, &r->data[slot * r->record_len],
                 r->record_len * sizeof(float));
     std::atomic_thread_fence(std::memory_order_acquire);
-    uint64_t head2 = r->head.load(std::memory_order_acquire);
-    if (head2 - tail >= r->capacity) continue;  // possibly torn; retry
+    uint64_t s2 = r->seq[slot].load(std::memory_order_relaxed);
+    if (s1 != s2 || s1 != 2 * (tail + 1)) continue;  // torn/stale; retry
     if (r->tail.compare_exchange_strong(tail, tail + 1,
                                         std::memory_order_acq_rel))
       return 1;

@@ -93,6 +93,17 @@ def test_waypoint_follower_closes_loop_kinematically():
     assert len(visited) == 4                    # toured every waypoint
 
 
+def test_waypoint_follower_all_waypoints_reached_terminates():
+    """Regression: when every waypoint sits within the arrival radius the
+    cyclic advance must stop after one full rotation instead of spinning
+    the control thread forever."""
+    wp = GpsWaypointController([(0.0, 0.0), (0.5, 0.5), (-0.5, 0.3)],
+                               radius=5.0, use_theta_gps=False)
+    cmd = wp.odometry(0.0, 0.0, 0.0, stamp=0.0)   # must return, not hang
+    assert math.isfinite(cmd.steering)
+    assert wp.next_waypoint in {(0.0, 0.0), (0.5, 0.5), (-0.5, 0.3)}
+
+
 def test_angle_diff_wraps():
     ad = GpsWaypointController._angle_diff
     assert ad(3.0, -3.0) == pytest.approx(3.0 - (-3.0) - 2 * math.pi)

@@ -122,6 +122,23 @@ def test_gst_covariance_known_diagonal():
     assert abs(alt_var - 0.05 ** 2) < 1e-12
 
 
+def test_gst_covariance_accepted_near_utc_midnight():
+    """Regression: the reference gates GST on ``atof(utc) > 100``
+    (GPSHemisphere.cpp:696), discarding every measured covariance in the
+    first 61 s of the UTC day — and in any sim whose clock starts at 0.
+    We keep only the no-data (empty-field) intent."""
+    gst_midnight = GST.replace("170000.00", "000012.00")
+    rx = GpsReceiver(position_source="GPGGA", clock=_clock_at_utc())
+    rx.feed(_nmea(gst_midnight))
+    rx.feed(_nmea(GGA_RTK))
+    assert rx.fix.covariance_type == COV_DIAGONAL_KNOWN
+    # a truly empty sentence is still ignored
+    rx2 = GpsReceiver(position_source="GPGGA", clock=_clock_at_utc())
+    rx2.feed(_nmea("GPGST,,,,,,,,"))
+    rx2.feed(_nmea(GGA_RTK))
+    assert rx2.fix.covariance_type != COV_DIAGONAL_KNOWN
+
+
 def test_gsa_covariance_approximated_and_not_overriding_gst():
     clock = _clock_at_utc()
     rx = GpsReceiver(position_source="GPGGA", clock=clock)

@@ -65,6 +65,71 @@ def test_ring_threaded_producer():
     assert seen >= 100
 
 
+def test_ring_pop_full_idle_producer_terminates():
+    """Regression: pop from an exactly-full ring with an idle producer.
+
+    The pre-seqlock torn-read check treated head - tail == capacity as
+    "possibly torn" and retried forever — a full, quiescent ring (every
+    overwrite push leaves one behind) livelocked the consumer once the
+    producer went idle."""
+    r = Ring(capacity=4, record_len=1)
+    for i in range(9):                       # leaves head - tail == capacity
+        r.push(np.array([float(i)], dtype=np.float32))
+    got = []
+
+    def drain():
+        while True:
+            rec = r.pop()
+            if rec is None:
+                return
+            got.append(float(rec[0]))
+
+    t = threading.Thread(target=drain, daemon=True)
+    t.start()
+    t.join(timeout=5.0)
+    assert not t.is_alive(), "pop livelocked on a full idle ring"
+    assert got == [5.0, 6.0, 7.0, 8.0]
+
+
+def test_ring_push_reports_drops_consistently():
+    """push() returns True exactly when the dropped counter increments."""
+    r = Ring(capacity=2, record_len=1)
+    flags = [r.push(np.array([float(i)], dtype=np.float32))
+             for i in range(6)]
+    assert sum(flags) == r.dropped == 4
+
+
+def test_ring_no_torn_records_under_heavy_overwrite():
+    """Tiny ring + fast producer: every popped record must be internally
+    consistent (the seqlock must reject torn copies)."""
+    r = Ring(capacity=2, record_len=2)
+    stop = threading.Event()
+
+    def produce():
+        i = 0
+        while not stop.is_set():
+            r.push(np.array([i, 3.0 * i], dtype=np.float32))
+            i += 1
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        checked = 0
+        deadline = time.time() + 3
+        last = -1.0
+        while checked < 2000 and time.time() < deadline:
+            rec = r.pop()
+            if rec is not None:
+                assert rec[1] == 3.0 * rec[0], rec
+                assert rec[0] > last
+                last = rec[0]
+                checked += 1
+        assert checked >= 500
+    finally:
+        stop.set()
+        t.join()
+
+
 def test_pacer_period_accuracy():
     p = Pacer(0.005)  # 200 Hz
     t0 = time.perf_counter()

@@ -166,3 +166,35 @@ def test_chassis_link_rides_the_shared_transport():
         link.stop()
         os.close(master)
         os.close(slave)
+
+
+def test_scan_hash_frames_framing_and_garbage_bounds():
+    from autorally_tpu.runtime.serial_device import scan_hash_frames
+
+    # normal framing: garbage prefix dropped, partial tail carried over
+    frames, rest = scan_hash_frames("junk#a:1\r\n#b:2\r\n#c")
+    assert frames == ["a:1", "b:2"]
+    assert rest == "#c"
+    # no '#' anywhere: wrong-baud noise must not accumulate
+    frames, rest = scan_hash_frames("x" * 10000)
+    assert frames == [] and rest == ""
+    # '#' followed by unbounded garbage without CRLF: trimmed, and a
+    # later '#' resumes the partial frame
+    frames, rest = scan_hash_frames("#" + "y" * 9000 + "#ok:GREEN")
+    assert frames == [] and rest == "#ok:GREEN"
+    frames, rest = scan_hash_frames(rest + "\r\n")
+    assert frames == ["ok:GREEN"] and rest == ""
+
+
+def test_runstop_box_buffer_bounded_on_noise():
+    """Regression: a noisy line with no '#' framing must not grow the
+    runstop driver's buffer without bound."""
+    from autorally_tpu.runtime.runstop_box import RunStopBox
+
+    box = RunStopBox(fd=-1)
+    for _ in range(50):
+        box.process_bytes(b"\xff\xfe garbage without framing " * 40)
+    assert len(box._buf) <= 8192
+    assert box.motion_enabled is False
+    box.process_bytes(b"#RunStop:GREEN\r\n")
+    assert box.state == "GREEN"
