@@ -65,7 +65,40 @@ def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6):
     return 1.0 / sec
 
 
+def _backend_alive(timeout_s: float = 240.0, retries: int = 3) -> bool:
+    """Probe device init in a subprocess so a hung accelerator tunnel
+    cannot hang the bench itself (observed: ``jax.devices()`` blocking
+    forever during a tunnel outage).  Retries cover transient flaps."""
+    import subprocess
+    import sys
+
+    for _ in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(10.0)
+    return False
+
+
 def main():
+    if not _backend_alive():
+        # Emit a labeled failure rather than hanging the driver: no
+        # number here says anything about the framework.
+        print(json.dumps({
+            "metric": "mppi_solves_per_sec_K1920_T100",
+            "value": 0.0,
+            "unit": "solves/s",
+            "vs_baseline": 0.0,
+            "extra": {"error": "accelerator backend init timed out "
+                               "(tunnel outage); no measurement taken"},
+        }))
+        return
+
     import jax
 
     from autorally_tpu.config import MPPIConfig

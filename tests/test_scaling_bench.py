@@ -7,15 +7,28 @@ collapses strong-scaling efficiency to ~1/n, which this test catches
 (BASELINE.md's >=85 % target is graded on real slices; the bound here is
 a loose structural floor for a 4-core host)."""
 
-import pytest
+import json
+import subprocess
+import sys
 
-from autorally_tpu.tools.scaling_bench import run_scaling
+import pytest
 
 
 @pytest.fixture(scope="module")
 def scaling():
-    return run_scaling([1, 4], mode="both", k_local=256, k_total=2048,
-                       num_timesteps=32, n=4, batches=3)
+    # Fresh interpreter (like the realtime gate): inside the full suite
+    # this process carries daemon threads and jax state from hundreds of
+    # earlier tests whose wakeups steal the cores the 4-device virtual
+    # mesh needs, collapsing measured efficiency below the structural
+    # floor this test guards.
+    out = subprocess.run(
+        [sys.executable, "-m", "autorally_tpu.tools.scaling_bench",
+         "--virtual", "4", "--devices", "1,4", "--mode", "both",
+         "--k-local", "256", "--k-total", "2048", "--timesteps", "32",
+         "--n", "4", "--batches", "3"],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def test_strong_scaling_not_serialized(scaling):
