@@ -38,6 +38,22 @@ class Dynamics:
     CONTROL_DIM: int = 2
     KINEMATICS_DIM: int = 3
 
+    #: In-kernel evaluation kind for the fused Pallas rollout kernels
+    #: (``ops/rollout_kernel.py``): ``"mlp"`` (tanh MLP layers), ``"bf"``
+    #: (generalized-linear basis functions), or ``None`` when the model has
+    #: no in-kernel form (the solver falls back to the ``lax.scan`` path).
+    KERNEL_KIND = None
+
+    def kernel_spec(self) -> tuple:
+        """Static (hashable) structure descriptor for the Pallas kernels —
+        part of the jit cache key alongside :attr:`KERNEL_KIND`."""
+        raise NotImplementedError
+
+    def kernel_weights(self, params: Params) -> list:
+        """Parameter arrays, in the layout the in-kernel evaluator of this
+        :attr:`KERNEL_KIND` expects, to be passed as VMEM refs."""
+        raise NotImplementedError
+
     def __init__(self, dt: float, negate_yaw_der: bool = True):
         self.dt = float(dt)
         # The reference pose pipeline reports the negative yaw derivative;

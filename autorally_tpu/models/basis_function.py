@@ -117,3 +117,16 @@ class BasisFunctionDynamics(Dynamics):
         return jnp.dot(phi, params["theta"],
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
+
+    # -- in-kernel form (ops/rollout_kernel.py) ------------------------------
+
+    KERNEL_KIND = "bf"
+
+    def kernel_spec(self) -> tuple:
+        return (NUM_BFS, self.DYNAMICS_DIM)
+
+    def kernel_weights(self, params: Params) -> list:
+        """One (4, 25) theta panel: the kernel evaluates the basis vector
+        as (25, K) rows and applies ``theta_T @ phi`` as one MXU matmul
+        (the lane-batched form of ``generalized_linear.cu:226-245``)."""
+        return [jnp.transpose(params["theta"])]

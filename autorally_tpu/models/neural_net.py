@@ -99,6 +99,22 @@ class NeuralNetDynamics(Dynamics):
             out[f"dynamics_b{i+1}"] = np.asarray(b, dtype=np.float64)
         np.savez(path, **out)
 
+    # -- in-kernel form (ops/rollout_kernel.py) ------------------------------
+
+    KERNEL_KIND = "mlp"
+
+    def kernel_spec(self) -> tuple:
+        return self.layers
+
+    def kernel_weights(self, params: Params) -> list:
+        """(out, in) weight panels + (out, 1) bias columns, the layout the
+        kernels' per-step ``(out, in) @ (in, K)`` matmuls consume."""
+        wb = []
+        for W, b in zip(params["weights"], params["biases"]):
+            wb.append(jnp.transpose(W))
+            wb.append(b[:, None])
+        return wb
+
     # -- forward ------------------------------------------------------------
 
     def dynamics(self, params: Params, states: jnp.ndarray,

@@ -68,6 +68,73 @@ def _atan(z: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(z < 0, -p, p)
 
 
+def _bf_deriv(theta_ref, mm_prec, d4, u0, u1):
+    """In-kernel generalized-linear dynamics: ``theta_T @ phi(s, u)``.
+
+    The lane-batched form of ``generalized_linear.cu:226-245`` — the
+    reference loops the 25 basis functions over ``threadIdx.y`` with
+    ``atomicAdd`` accumulation; here the basis vector is materialized as
+    (25, K) rows and applied with one (4, 25) @ (25, K) MXU matmul.
+    Formulas port ``car_bfs.cuh:44-121`` exactly (see
+    ``models/basis_function.py::car_basis_functions``, the scan-path
+    twin); ``tan`` is computed as sin/cos and ``atan`` by the minimax
+    polynomial above (Mosaic has neither primitive), which bounds the
+    Pallas-vs-scan drift at ~1e-7 in the slip angle.
+
+    ``d4``: (4, K) dynamics-state block [roll, u_x, u_y, yaw_der];
+    ``u0``/``u1``: (1, K) clamped steering/throttle.  Returns (4, K).
+    """
+    roll = d4[0:1, :]
+    ux = d4[1:2, :]
+    uy = d4[2:3, :]
+    yd = d4[3:4, :]
+    moving = ux > 0.1
+    safe_ux = jnp.where(moving, ux, 1.0)
+    front = _atan(uy / safe_ux + 0.45 * yd / safe_ux) - u0
+    arg = jnp.where(moving, front, -u0)
+    tan_front = jnp.sin(arg) / jnp.cos(arg)
+    abs_tf = jnp.abs(tan_front)
+    sin_st = jnp.sin(u0)
+    r13 = uy / safe_ux - 0.35 * yd / safe_ux
+    rows = [
+        u1,                                                    # 0
+        ux / 10.0,                                             # 1
+        sin_st * tan_front / 1200.0,                           # 2
+        sin_st * tan_front * abs_tf / 1440000.0,               # 3
+        sin_st * tan_front ** 3 / 1728000000.0,                # 4
+        yd * uy / 25.0,                                        # 5
+        yd / 10.0,                                             # 6
+        uy / 10.0,                                             # 7
+        sin_st,                                                # 8
+        jnp.where(moving, uy / safe_ux / 40.0, 0.0),           # 9
+        tan_front / 1400.0,                                    # 10
+        tan_front * abs_tf / 1960000.0,                        # 11
+        tan_front ** 3 / 2744000000.0,                         # 12
+        jnp.where(moving, r13 / 40.0, 0.0),                    # 13
+        jnp.where(moving, r13 * jnp.abs(r13) / 1600.0, 0.0),   # 14
+        jnp.where(moving, r13 ** 3 / 64000.0, 0.0),            # 15
+        yd * ux / 50.0,                                        # 16
+        roll,                                                  # 17
+        roll * yd,                                             # 18
+        roll * ux / 3.0,                                       # 19
+        roll * ux * yd / 5.0,                                  # 20
+        ux ** 2 / 100.0,                                       # 21
+        ux ** 3 / 1000.0,                                      # 22
+        u1 ** 2,                                               # 23
+        u1 ** 3,                                               # 24
+    ]
+    phi = jnp.concatenate(rows, axis=0)                        # (25, K)
+    th = theta_ref[:, :]                                       # (4, 25)
+    return jax.lax.dot_general(th, phi, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=mm_prec)
+
+
+def _n_weight_refs(kind: str, spec: tuple) -> int:
+    """Number of VMEM refs ``Dynamics.kernel_weights`` contributes."""
+    return 2 * (len(spec) - 1) if kind == "mlp" else 1
+
+
 PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
               "high": jax.lax.Precision.HIGH,
               "default": jax.lax.Precision.DEFAULT}
@@ -95,12 +162,14 @@ def pallas_supported(K: int) -> bool:
         return False
 
 
-def _rollout_kernel(n_layers: int, T: int, negate_yaw_der: bool, dt: float,
-                    mm_prec, scalars_ref, s0_ref, U_ref, eps_ref, *refs):
+def _rollout_kernel(kind: str, spec: tuple, T: int, negate_yaw_der: bool,
+                    dt: float, mm_prec, scalars_ref, s0_ref, U_ref, eps_ref,
+                    *refs):
     """Kernel body.
 
-    refs layout: [W_0, b_0, ..., W_{L-1}, b_{L-1}, states_out, useq_out,
-                  s_scratch]
+    refs layout: [<model weight refs per kernel_weights>, states_out,
+                  useq_out, s_scratch] — for ``kind="mlp"``
+    [W_0, b_0, ..., W_{L-1}, b_{L-1}], for ``kind="bf"`` [theta_T]
 
     - ``scalars_ref`` (SMEM, (9,)): [nu0, nu1, lo0, hi0, lo1, hi1,
       opt_delay, pure_thresh_minus_koffset, k0_flag] (see caller).
@@ -113,10 +182,12 @@ def _rollout_kernel(n_layers: int, T: int, negate_yaw_der: bool, dt: float,
       cost pass slices contiguous (T, K) planes with zero relayout.
     - ``useq_out``   (C, T, K): pre-clamp perturbed controls, same idea
     """
-    weights = refs[:2 * n_layers]
-    states_out = refs[2 * n_layers]
-    useq_out = refs[2 * n_layers + 1]
-    s_ref = refs[2 * n_layers + 2]
+    n_w = _n_weight_refs(kind, spec)
+    n_layers = len(spec) - 1
+    weights = refs[:n_w]
+    states_out = refs[n_w]
+    useq_out = refs[n_w + 1]
+    s_ref = refs[n_w + 2]
 
     K = s0_ref.shape[-1]           # tile width (lanes) of this grid cell
     nu0 = scalars_ref[0]
@@ -164,18 +235,21 @@ def _rollout_kernel(n_layers: int, T: int, negate_yaw_der: bool, dt: float,
         dy = sy * ux + cy * uy
         dyaw = -yd if negate_yaw_der else yd
 
-        # MLP forward: acts (6, K) -> ... -> (4, K), each layer one MXU
-        # matmul (neural_net_model.cu:358-410, batched over lanes).
-        acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
-        for i in range(n_layers):
-            W = weights[2 * i][:, :]             # (out, in)
-            b = weights[2 * i + 1][:, :]         # (out, 1)
-            acts = jax.lax.dot_general(
-                W, acts, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mm_prec) + b
-            if i < n_layers - 1:
-                acts = jnp.tanh(acts)
+        if kind == "bf":
+            acts = _bf_deriv(weights[0], mm_prec, s[3:7, :], u0, u1)
+        else:
+            # MLP forward: acts (6, K) -> ... -> (4, K), each layer one MXU
+            # matmul (neural_net_model.cu:358-410, batched over lanes).
+            acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
+            for i in range(n_layers):
+                W = weights[2 * i][:, :]         # (out, in)
+                b = weights[2 * i + 1][:, :]     # (out, 1)
+                acts = jax.lax.dot_general(
+                    W, acts, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_prec) + b
+                if i < n_layers - 1:
+                    acts = jnp.tanh(acts)
 
         deriv = jnp.concatenate(
             [dx, dy, dyaw, acts, jnp.zeros((SPAD - 7, K), jnp.float32)],
@@ -208,17 +282,16 @@ def _pick_tile(K: int, max_tile: int = MAX_TILE) -> int:
     return tile
 
 
-@functools.partial(jax.jit, static_argnames=("layers", "T", "K",
+@functools.partial(jax.jit, static_argnames=("kind", "spec", "T", "K",
                                              "negate_yaw_der", "dt",
                                              "interpret", "precision"))
-def _dynamics_chain(layers: Tuple[int, ...], T: int, K: int,
+def _dynamics_chain(kind: str, spec: Tuple[int, ...], T: int, K: int,
                     negate_yaw_der: bool, dt: float, interpret: bool,
                     scalars, s0, U, eps, *wb, precision: str = "highest"):
-    n_layers = len(layers) - 1
     C = 2
     tile = _pick_tile(K)
     grid = (K // tile,)
-    kernel = functools.partial(_rollout_kernel, n_layers, T,
+    kernel = functools.partial(_rollout_kernel, kind, spec, T,
                                negate_yaw_der, dt, _prec(precision))
 
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -279,17 +352,14 @@ def dynamics_chain_pallas(model, model_params, cfg, state, U, eps,
         state.astype(jnp.float32), (0, SPAD - S))[:, None]
     eps_t = jnp.transpose(eps, (0, 2, 1))        # (T, C, K)
 
-    wb = []
-    for W, b in zip(model_params["weights"], model_params["biases"]):
-        wb.append(jnp.transpose(W))              # (out, in)
-        wb.append(b[:, None])                    # (out, 1)
+    wb = model.kernel_weights(model_params)
 
     # Component-major outputs — K stays on the vector lanes and each state
     # component is a contiguous (T, K) plane for the cost pass.
     return _dynamics_chain(
-        tuple(model.layers), T, K, model.negate_yaw_der, float(model.dt),
-        interpret, scalars, s0, U.astype(jnp.float32), eps_t, *wb,
-        precision=precision)
+        model.KERNEL_KIND, tuple(model.kernel_spec()), T, K,
+        model.negate_yaw_der, float(model.dt), interpret, scalars, s0,
+        U.astype(jnp.float32), eps_t, *wb, precision=precision)
 
 
 def nominal_trajectory_pallas(model, model_params, cfg, state, U,
@@ -321,9 +391,10 @@ def nominal_trajectory_pallas(model, model_params, cfg, state, U,
 # fused rollout + neural-field cost kernel
 # ---------------------------------------------------------------------------
 
-def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
-                  T: int, negate_yaw_der: bool, l1_cost: bool, dt: float,
-                  mm_prec, scalars_ref, U_ref, eps_ref, *refs):
+def _fused_kernel(kind: str, spec: tuple, n_field_layers: int,
+                  num_freqs: int, T: int, negate_yaw_der: bool,
+                  l1_cost: bool, dt: float, mm_prec, scalars_ref, U_ref,
+                  eps_ref, *refs):
     """Rollout + cost in one program (the full ``rolloutKernel``).
 
     ``scalars_ref`` (SMEM, (32,)) packing (see ``fused_rollout_cost_pallas``):
@@ -342,9 +413,11 @@ def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
     refs: [W_dyn..., b_dyn..., W_field..., b_field..., freqs,
            costs_out, crash_out, useq_out]
     """
-    wd = refs[:2 * n_layers]
-    wf = refs[2 * n_layers:2 * (n_layers + n_field_layers)]
-    freqs_ref = refs[2 * (n_layers + n_field_layers)]
+    n_w = _n_weight_refs(kind, spec)
+    n_layers = len(spec) - 1
+    wd = refs[:n_w]
+    wf = refs[n_w:n_w + 2 * n_field_layers]
+    freqs_ref = refs[n_w + 2 * n_field_layers]
     costs_out = refs[-3]
     crash_out = refs[-2]
     useq_out = refs[-1]
@@ -480,25 +553,28 @@ def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
         dx = cy * ux - sy * uy
         dy_ = sy * ux + cy * uy
         dyaw = -yd if negate_yaw_der else yd
-        # Layer 0 split: the (out, 4) @ d4 matmul plus rank-1 broadcast
-        # terms for the two controls — no (6, K) input materialization.
-        W0, b0 = wd[0], wd[1]
-        acts = (jax.lax.dot_general(
-            W0[:, 0:4], d4, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=mm_prec)
-            + W0[:, 4:5] * u0 + W0[:, 5:6] * u1 + b0[:, :])
-        if n_layers > 1:
-            acts = jnp.tanh(acts)
-        for i in range(1, n_layers):
-            W = wd[2 * i][:, :]
-            b = wd[2 * i + 1][:, :]
-            acts = jax.lax.dot_general(
-                W, acts, (((1,), (0,)), ((), ())),
+        if kind == "bf":
+            acts = _bf_deriv(wd[0], mm_prec, d4, u0, u1)
+        else:
+            # Layer 0 split: the (out, 4) @ d4 matmul plus rank-1 broadcast
+            # terms for the two controls — no (6, K) input materialization.
+            W0, b0 = wd[0], wd[1]
+            acts = (jax.lax.dot_general(
+                W0[:, 0:4], d4, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=mm_prec) + b
-            if i < n_layers - 1:
+                precision=mm_prec)
+                + W0[:, 4:5] * u0 + W0[:, 5:6] * u1 + b0[:, :])
+            if n_layers > 1:
                 acts = jnp.tanh(acts)
+            for i in range(1, n_layers):
+                W = wd[2 * i][:, :]
+                b = wd[2 * i + 1][:, :]
+                acts = jax.lax.dot_general(
+                    W, acts, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_prec) + b
+                if i < n_layers - 1:
+                    acts = jnp.tanh(acts)
         x = x + dx * dt
         y = y + dy_ * dt
         yaw = yaw + dyaw * dt
@@ -517,17 +593,16 @@ def _fused_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "dyn_layers", "field_layers", "num_freqs", "T", "K", "negate_yaw_der",
+    "kind", "spec", "field_layers", "num_freqs", "T", "K", "negate_yaw_der",
     "l1_cost", "dt", "interpret", "precision"))
-def _fused_rollout_cost(dyn_layers, field_layers, num_freqs, T, K,
+def _fused_rollout_cost(kind, spec, field_layers, num_freqs, T, K,
                         negate_yaw_der, l1_cost, dt, interpret,
                         scalars, U, eps, *wb, precision: str = "highest"):
-    n_layers = len(dyn_layers) - 1
     n_field = len(field_layers) - 1
     C = 2
     tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
-    kernel = functools.partial(_fused_kernel, n_layers, n_field, num_freqs,
+    kernel = functools.partial(_fused_kernel, kind, spec, n_field, num_freqs,
                                T, negate_yaw_der, l1_cost, dt,
                                _prec(precision))
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -598,10 +673,7 @@ def fused_rollout_cost_pallas(model, model_params, cfg, cost_params, field,
 
     eps_t = jnp.transpose(eps, (0, 2, 1))
 
-    wb = []
-    for W, b in zip(model_params["weights"], model_params["biases"]):
-        wb.append(jnp.transpose(W))
-        wb.append(b[:, None])
+    wb = list(model.kernel_weights(model_params))
     field_layer_dims = [field.weights[0].shape[0]]
     for W, b in zip(field.weights, field.biases):
         wb.append(jnp.transpose(W).astype(jnp.float32))
@@ -611,7 +683,8 @@ def fused_rollout_cost_pallas(model, model_params, cfg, cost_params, field,
     wb.append(field.freqs[:, None])                           # (F, 1)
 
     costs, crash, useq = _fused_rollout_cost(
-        tuple(model.layers), tuple(field_layer_dims), num_freqs, T, K,
+        model.KERNEL_KIND, tuple(model.kernel_spec()),
+        tuple(field_layer_dims), num_freqs, T, K,
         model.negate_yaw_der, l1_cost, float(model.dt), interpret,
         sc, U.astype(jnp.float32), eps_t, *wb, precision=precision)
     return costs[0], useq, crash[0].astype(jnp.int32)
@@ -684,10 +757,10 @@ def exact_pallas_supported(costmap, K: int) -> bool:
     return pallas_supported(K) and Hp * Wp * 4 <= EXACT_VMEM_BUDGET
 
 
-def _fused_exact_kernel(n_layers: int, T: int, H: int, W: int, Hp: int,
-                        RW: int, Wblk: int, CB: int, negate_yaw_der: bool,
-                        l1_cost: bool, dt: float, mm_prec,
-                        scalars_ref, U_ref, eps_ref, *refs):
+def _fused_exact_kernel(kind: str, spec: tuple, T: int, H: int, W: int,
+                        Hp: int, RW: int, Wblk: int, CB: int,
+                        negate_yaw_der: bool, l1_cost: bool, dt: float,
+                        mm_prec, scalars_ref, U_ref, eps_ref, *refs):
     """Rollout + cost in one program with *exact* point-sampled costmap
     lookups (texture semantics of ``costs.cu:128-154, 351-393``).
 
@@ -698,7 +771,8 @@ def _fused_exact_kernel(n_layers: int, T: int, H: int, W: int, Hp: int,
            useq_out, vals_scratch (1, 2K)]
     """
     map3_ref = refs[0]
-    wd = refs[1:1 + 2 * n_layers]
+    wd = refs[1:1 + _n_weight_refs(kind, spec)]
+    n_layers = len(spec) - 1
     costs_out = refs[-4]
     crash_out = refs[-3]
     useq_out = refs[-2]
@@ -867,16 +941,19 @@ def _fused_exact_kernel(n_layers: int, T: int, H: int, W: int, Hp: int,
         dx = cy * ux - sy * uy
         dy_ = sy * ux + cy * uy
         dyaw = -yd if negate_yaw_der else yd
-        acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
-        for i in range(n_layers):
-            Wt = wd[2 * i][:, :]
-            b = wd[2 * i + 1][:, :]
-            acts = jax.lax.dot_general(
-                Wt, acts, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mm_prec) + b
-            if i < n_layers - 1:
-                acts = jnp.tanh(acts)
+        if kind == "bf":
+            acts = _bf_deriv(wd[0], mm_prec, s[3:7, :], u0, u1)
+        else:
+            acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
+            for i in range(n_layers):
+                Wt = wd[2 * i][:, :]
+                b = wd[2 * i + 1][:, :]
+                acts = jax.lax.dot_general(
+                    Wt, acts, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_prec) + b
+                if i < n_layers - 1:
+                    acts = jnp.tanh(acts)
         deriv = jnp.concatenate(
             [dx, dy_, dyaw, acts, jnp.zeros((SPAD - 7, K), jnp.float32)],
             axis=0)
@@ -893,16 +970,15 @@ def _fused_exact_kernel(n_layers: int, T: int, H: int, W: int, Hp: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "dyn_layers", "T", "K", "H", "W", "Hp", "RW", "Wblk", "CB",
+    "kind", "spec", "T", "K", "H", "W", "Hp", "RW", "Wblk", "CB",
     "negate_yaw_der", "l1_cost", "dt", "interpret", "precision"))
-def _fused_exact_call(dyn_layers, T, K, H, W, Hp, RW, Wblk, CB,
+def _fused_exact_call(kind, spec, T, K, H, W, Hp, RW, Wblk, CB,
                       negate_yaw_der, l1_cost, dt, interpret,
                       scalars, U, eps, map3, *wb, precision: str = "highest"):
-    n_layers = len(dyn_layers) - 1
     C = 2
     tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
-    kernel = functools.partial(_fused_exact_kernel, n_layers, T, H, W, Hp,
+    kernel = functools.partial(_fused_exact_kernel, kind, spec, T, H, W, Hp,
                                RW, Wblk, CB, negate_yaw_der, l1_cost, dt,
                                _prec(precision))
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -978,10 +1054,7 @@ def fused_exact_rollout_cost_pallas(model, model_params, cfg, cost_params,
 
     eps_t = jnp.transpose(eps, (0, 2, 1))
 
-    wb = []
-    for Wt, b in zip(model_params["weights"], model_params["biases"]):
-        wb.append(jnp.transpose(Wt))
-        wb.append(b[:, None])
+    wb = model.kernel_weights(model_params)
 
     ch0 = costmap.data[..., 0]
     H, W = int(ch0.shape[0]), int(ch0.shape[1])
@@ -991,8 +1064,8 @@ def fused_exact_rollout_cost_pallas(model, model_params, cfg, cost_params,
         (1, 0, 2))                                            # (Wblk, Hp, 128)
 
     costs, crash, useq = _fused_exact_call(
-        tuple(model.layers), T, K, H, W, Hp, RW, Wblk, CB,
-        model.negate_yaw_der, l1_cost, float(model.dt), interpret,
+        model.KERNEL_KIND, tuple(model.kernel_spec()), T, K, H, W, Hp, RW,
+        Wblk, CB, model.negate_yaw_der, l1_cost, float(model.dt), interpret,
         sc, U.astype(jnp.float32), eps_t, map3, *wb, precision=precision)
     return costs[0], useq, crash[0].astype(jnp.int32)
 
@@ -1273,6 +1346,10 @@ def fused_rng_costs(model, model_params, cfg, cost_params, field, state, U,
     ``k_offset``/``K_local`` let a sharded caller run its own shard of the
     global rollout batch with a per-shard seed (the ``mppi_controller.cu:612``
     per-controller cuRAND stream, one per chip)."""
+    if model.KERNEL_KIND != "mlp":
+        raise NotImplementedError(
+            "kernel-RNG (nothing-in-HBM) mode supports MLP models only; "
+            "the solver gates on KERNEL_KIND before dispatching here")
     T = U.shape[0]
     K = cfg.num_rollouts if K_local is None else K_local
     rngs = jnp.reshape(model_params["control_rngs"], (-1, 2))[-2:]

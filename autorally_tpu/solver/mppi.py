@@ -91,15 +91,15 @@ class MPPISolver:
         self._slide_jit = jax.jit(self._slide)
 
     def _decide_pallas(self) -> bool:
-        """Use the fused Pallas dynamics kernel when it applies: MLP model,
-        TPU backend, lane-aligned rollout count (config override via
-        ``cfg.use_pallas_rollout``)."""
-        from autorally_tpu.models.neural_net import NeuralNetDynamics
+        """Use the fused Pallas dynamics kernel when it applies: a model
+        with an in-kernel form (``Dynamics.KERNEL_KIND`` — MLP or basis
+        functions), TPU backend, lane-aligned rollout count (config
+        override via ``cfg.use_pallas_rollout``)."""
         from autorally_tpu.ops.rollout_kernel import pallas_supported
 
         if self.cfg.use_pallas_rollout is not None:
             return self.cfg.use_pallas_rollout
-        return (type(self.model) is NeuralNetDynamics
+        return (self.model.KERNEL_KIND is not None
                 and pallas_supported(self._local_rollouts()))
 
     def _local_rollouts(self) -> int:
@@ -316,6 +316,7 @@ class MPPISolver:
         from autorally_tpu.costs.neural_costmap import NeuralCostmap
 
         return (self.cfg.kernel_rng and self.use_pallas_rollout
+                and self.model.KERNEL_KIND == "mlp"
                 and self.cfg.noise_sampler == "gaussian"
                 and isinstance(costmap, NeuralCostmap)
                 and type(self.cost) is MPPICost)

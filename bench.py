@@ -39,7 +39,8 @@ def _timed_solves(control_step, args0, cs, n=25, batches=6):
     return best
 
 
-def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6):
+def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6,
+               model_kind="nn"):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +52,8 @@ def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6):
         solver, params, cost_params, cm, state = _build(
             cfg, sharded=True, mesh=mesh)
     else:
-        solver, params, cost_params, cm, state = _build(cfg)
+        solver, params, cost_params, cm, state = _build(
+            cfg, model_kind=model_kind)
     if costmap is not None:
         cm = costmap
 
@@ -111,6 +113,13 @@ def main():
 
     extra = {"devices": n_dev}
     try:
+        # the reference's SECOND model family: path_integral_bf operating
+        # point (K=2560 basis-function rollouts, path_integral_main.cu:71),
+        # through the fused exact-costmap kernel via KERNEL_KIND="bf"
+        extra["bf_K2560_solves_per_sec"] = round(_bench_cfg(
+            MPPIConfig(num_rollouts=2560, num_timesteps=100),
+            model_kind="bf", n=12, batches=4), 2)
+
         # exact costmap at scale: the fused windowed-gather kernel
         extra["exact_K65536_solves_per_sec"] = round(_bench_cfg(
             MPPIConfig(num_rollouts=65536, num_timesteps=100),

@@ -221,3 +221,40 @@ def test_fused_solve_runs_and_matches_exact_closely():
     cs_e, _ = sp.solve(params, cp, cm, START, cs)
     assert np.isfinite(np.asarray(cs_n.U)).all()
     assert np.abs(np.asarray(cs_n.U) - np.asarray(cs_e.U)).max() < 0.3
+
+
+def test_bf_exact_fused_matches_scan_on_tpu():
+    """The basis-function family (path_integral_bf, K=2560) through the
+    fused exact-costmap kernel vs the scan path.  Tolerance is wider than
+    the MLP tests: the kernel computes atan by minimax polynomial and tan
+    as sin/cos (no Mosaic primitives), which the slip-angle basis terms
+    integrate over the horizon."""
+    from autorally_tpu.models import BasisFunctionDynamics
+
+    BF_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
+              "models/basis_function_09_12_2018.npz")
+    cfg = MPPIConfig(num_rollouts=2560, num_timesteps=100,
+                     use_pallas_rollout=True, exact_fused=True)
+    data, xb, yb = oval_track(ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    model = BasisFunctionDynamics(cfg.dt)
+    params = model.load_params(BF_NPZ)
+    sp = MPPISolver(model, MPPICost(), cfg)
+    ss = MPPISolver(model, MPPICost(), cfg.replace(use_pallas_rollout=False))
+    assert sp.use_pallas_rollout and not ss.use_pallas_rollout
+    cp = CostParams()
+    eps = jax.random.normal(jax.random.PRNGKey(5), (100, 2560, 2),
+                            dtype=jnp.float32)
+    U = sp.init_state().U
+    tot_p, _, crash_p = jax.jit(
+        lambda e: sp.rollout_costs(params, cp, cm, START, U, e))(eps)
+    tot_s, _, crash_s = jax.jit(
+        lambda e: ss.rollout_costs(params, cp, cm, START, U, e))(eps)
+    assert (np.asarray(crash_p) == np.asarray(crash_s)).mean() > 0.995
+    ok = np.isclose(np.asarray(tot_p), np.asarray(tot_s),
+                    rtol=5e-3, atol=1e-2)
+    assert ok.mean() > 0.995, f"cost mismatch frac {1 - ok.mean():.4f}"
+    Up, _ = jax.jit(lambda e: sp.iterate(params, cp, cm, START, U, e))(eps)
+    Us, _ = jax.jit(lambda e: ss.iterate(params, cp, cm, START, U, e))(eps)
+    np.testing.assert_allclose(np.asarray(Up), np.asarray(Us),
+                               rtol=5e-3, atol=5e-3)
