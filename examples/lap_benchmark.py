@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--mismatch", type=float, default=0.0,
                     help="scale the true-plant model weights by (1+x) to "
                          "study tube feedback under model error")
+    ap.add_argument("--bf", action="store_true",
+                    help="basis-function dynamics (path_integral_bf role; "
+                         "reference default K=2560)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -58,19 +61,32 @@ def main():
     data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
                               track_width=6.0, ppm=10.0)
     cm = make_costmap(data, xb, yb)
-    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
-    params = model.load_params(MODEL_NPZ)
+    if args.bf:
+        from autorally_tpu.models import BasisFunctionDynamics
+        bf_npz = MODEL_NPZ.replace("autorally_nnet_09_12_2018",
+                                   "basis_function_09_12_2018")
+        model = BasisFunctionDynamics(cfg.dt)
+        params = model.load_params(bf_npz)
+        true_model = BasisFunctionDynamics(cfg.dt / args.pose_substeps)
+    else:
+        model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+        params = model.load_params(MODEL_NPZ)
+        true_model = NeuralNetDynamics(cfg.dt / args.pose_substeps,
+                                       control_ranges=cfg.control_ranges)
     solver = MPPISolver(model, MPPICost(), cfg)
-    true_model = NeuralNetDynamics(cfg.dt / args.pose_substeps,
-                                   control_ranges=cfg.control_ranges)
     runner = EpisodeRunner(solver, true_model=true_model,
                            n_ticks=args.ticks,
                            use_feedback_gains=args.feedback,
                            pose_substeps=args.pose_substeps)
     params_true = params
     if args.mismatch:
-        params_true = {**params, "weights": [W * (1 + args.mismatch)
-                                             for W in params["weights"]]}
+        if args.bf:
+            params_true = {**params,
+                           "theta": params["theta"] * (1 + args.mismatch)}
+        else:
+            params_true = {**params,
+                           "weights": [W * (1 + args.mismatch)
+                                       for W in params["weights"]]}
     print(f"feedback_gains={args.feedback} pose_substeps="
           f"{args.pose_substeps} mismatch={args.mismatch}")
 

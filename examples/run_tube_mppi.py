@@ -20,6 +20,8 @@ import numpy as np
 
 MODEL_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
              "models/autorally_nnet_09_12_2018.npz")
+BF_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
+          "models/basis_function_09_12_2018.npz")
 
 
 def main():
@@ -30,6 +32,12 @@ def main():
                     help="roslaunch XML to load config from")
     ap.add_argument("--rollouts", type=int, default=1920)
     ap.add_argument("--timesteps", type=int, default=100)
+    ap.add_argument("--bf", action="store_true",
+                    help="basis-function dynamics (the path_integral_bf "
+                         "binary role; reference default K=2560)")
+    ap.add_argument("--model", default=None,
+                    help="model .npz (defaults to the reference NN or BF "
+                         "weights per --bf)")
     ap.add_argument("--desired-speed", type=float, default=6.0)
     ap.add_argument("--telemetry-port", type=int, default=None,
                     help="UDP port to feed the operator console "
@@ -70,8 +78,13 @@ def main():
     data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
                               track_width=6.0, ppm=10.0)
     cm = make_costmap(data, xb, yb)
-    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
-    params_m = model.load_params(MODEL_NPZ)
+    if args.bf:
+        from autorally_tpu.models import BasisFunctionDynamics
+        model = BasisFunctionDynamics(cfg.dt)
+        params_m = model.load_params(args.model or BF_NPZ)
+    else:
+        model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+        params_m = model.load_params(args.model or MODEL_NPZ)
 
     solver = MPPISolver(model, MPPICost(cfg.l1_cost), cfg)
     ddp = DDPSolver(model, cfg.dt, cfg.num_timesteps)
