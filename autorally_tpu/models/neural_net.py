@@ -67,6 +67,29 @@ class NeuralNetDynamics(Dynamics):
             "control_rngs": control_ranges_array(self._control_ranges),
         }
 
+    @classmethod
+    def from_npz(cls, path: str, dt: float,
+                 control_ranges=((-0.99, 0.99), (-0.99, 0.65)),
+                 negate_yaw_der: bool = True):
+        """Build a model with the layer spec *inferred from the npz* and
+        its params loaded — covers every reference asset without knowing
+        the architecture up front (the CUDA build needs the spec at
+        compile time as template args, ``path_integral_main.cu:69``;
+        e.g. ``wider_deeper_network_08_20_2020.npz`` is 6-64-64-64-64-4).
+        Returns ``(model, params)``."""
+        data = np.load(path)
+        layers = []
+        i = 1
+        while f"dynamics_W{i}" in data.files:
+            W = data[f"dynamics_W{i}"]
+            if not layers:
+                layers.append(int(W.shape[1]))
+            layers.append(int(W.shape[0]))
+            i += 1
+        model = cls(dt, layers=layers, control_ranges=control_ranges,
+                    negate_yaw_der=negate_yaw_der)
+        return model, model.load_params(path)
+
     def load_params(self, path: str) -> Params:
         """Load ``dynamics_W{i}/b{i}`` from ``.npz`` (float64 -> float32),
         exactly as ``neural_net_model.cu:73-106``.

@@ -96,3 +96,60 @@ def test_update_model_hot_swap(rng):
     # wrong structure -> unchanged
     params3 = model.update_model(params, (6, 16, 4), flat2)
     assert params3 is params
+
+
+def test_from_npz_infers_every_reference_asset():
+    """Every shipped reference network asset loads with its architecture
+    inferred from the npz — including the 6-64-64-64-64-4 wider/deeper
+    net (``params/models/README.md`` inventory)."""
+    base = ("/root/reference/autorally_control/src/path_integral/params/"
+            "models/")
+    expect = {
+        "autorally_nnet_09_12_2018.npz": (6, 32, 32, 4),
+        "gazebo_nnet_09_12_2018.npz": (6, 32, 32, 4),
+        "shallow_network_08_20_2020.npz": (6, 32, 32, 4),
+        "wider_deeper_network_08_20_2020.npz": (6, 64, 64, 64, 64, 4),
+    }
+    for fname, layers in expect.items():
+        model, params = NeuralNetDynamics.from_npz(base + fname, DT)
+        assert model.layers == layers, fname
+        s = jnp.asarray([[0.0, 0.0, 0.5, 0.0, 3.0, 0.1, 0.05]],
+                        dtype=jnp.float32)
+        u = jnp.asarray([[0.1, 0.3]], dtype=jnp.float32)
+        d = model.state_deriv(params, s, u)
+        assert d.shape == (1, 7) and bool(jnp.all(jnp.isfinite(d))), fname
+
+
+def test_wider_deeper_through_solver_and_kernel():
+    """The 5-layer net runs a full solve on the scan path AND through the
+    Pallas chain kernel (interpret) — the kernels are layer-count generic."""
+    import jax
+
+    from autorally_tpu.config import CostParams, MPPIConfig
+    from autorally_tpu.costs import MPPICost
+    from autorally_tpu.costs.costmap import make_costmap
+    from autorally_tpu.ops import rollout_kernel as rk
+    from autorally_tpu.solver.mppi import MPPISolver
+    from autorally_tpu.tools.track_generator import oval_track
+
+    base = ("/root/reference/autorally_control/src/path_integral/params/"
+            "models/")
+    model, params = NeuralNetDynamics.from_npz(
+        base + "wider_deeper_network_08_20_2020.npz", DT)
+    K, T = 128, 16
+    cfg = MPPIConfig(num_rollouts=K, num_timesteps=T)
+    data, xb, yb = oval_track(ppm=2.0)
+    cm = make_costmap(data, xb, yb)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    state = jnp.asarray([25.0, 0.0, np.pi / 2, 0.0, 3.0, 0.0, 0.0],
+                        dtype=jnp.float32)
+    cs, stats = solver.solve(params, CostParams(), cm, state,
+                             solver.init_state())
+    assert bool(jnp.all(jnp.isfinite(cs.U)))
+
+    eps = jax.random.normal(jax.random.PRNGKey(2), (T, K, 2),
+                            dtype=jnp.float32)
+    states, useq = rk.dynamics_chain_pallas(
+        model, params, cfg, state, cs.U, eps, interpret=True)
+    assert states.shape == (8, T, K)
+    assert bool(jnp.all(jnp.isfinite(states[:7])))
