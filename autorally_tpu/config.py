@@ -98,8 +98,9 @@ class MPPIConfig:
     # lax.scan unroll factor for the horizon loops (TPU perf knob: merges
     # scan iterations to amortize per-step overhead; no semantic effect).
     scan_unroll: int = 10
-    # Fused Pallas rollout kernel: None = auto (TPU + MLP model + lane-
-    # aligned K), True/False = force.  No semantic effect.
+    # Fused Pallas rollout kernel: None = auto (TPU + a model with an
+    # in-kernel form (MLP or basis functions) + lane-aligned K),
+    # True/False = force.  No semantic effect.
     use_pallas_rollout: bool = None
     # Exploration noise: 'gaussian' (reference protocol), 'colored'
     # (1/f^beta, noise_param = beta), or 'ou' (AR(1), noise_param = theta).
@@ -107,9 +108,10 @@ class MPPIConfig:
     noise_param: float = 1.0
     # Generate noise inside the fused Pallas kernel (Box-Muller from the
     # Mosaic PRNG) with a two-pass weighted update: HBM traffic becomes
-    # O(K), independent of K*T.  Requires TPU + MLP model + NeuralCostmap
-    # + gaussian sampler.  Different (equally valid) noise stream than the
-    # jax.random path.
+    # O(K), independent of K*T.  Requires TPU + an in-kernel model form +
+    # gaussian sampler + either a NeuralCostmap or an exact Costmap that
+    # fits the VMEM budget.  Different (equally valid) noise stream than
+    # the jax.random path.
     kernel_rng: bool = False
     # Fuse the *exact* costmap lookup into the Pallas rollout kernel
     # (windowed VMEM-resident gather with a full-map exact fallback).

@@ -746,62 +746,32 @@ def _exact_dims(H: int, W: int):
     return Hp, RW, Wp, Wblk, EXACT_WIN_BLOCKS
 
 
-def exact_pallas_supported(costmap, K: int) -> bool:
-    """The exact-costmap fused kernel applies when the (padded) map fits
-    the VMEM budget and the rollout batch fills whole lane groups."""
+def exact_map_fits(costmap) -> bool:
+    """True when the (padded) costmap fits the in-kernel VMEM budget."""
     try:
         H, W = costmap.height, costmap.width
     except AttributeError:
         return False
     Hp, _, Wp, _, _ = _exact_dims(H, W)
-    return pallas_supported(K) and Hp * Wp * 4 <= EXACT_VMEM_BUDGET
+    return Hp * Wp * 4 <= EXACT_VMEM_BUDGET
 
 
-def _fused_exact_kernel(kind: str, spec: tuple, T: int, H: int, W: int,
-                        Hp: int, RW: int, Wblk: int, CB: int,
-                        negate_yaw_der: bool, l1_cost: bool, dt: float,
-                        mm_prec, scalars_ref, U_ref, eps_ref, *refs):
-    """Rollout + cost in one program with *exact* point-sampled costmap
-    lookups (texture semantics of ``costs.cu:128-154, 351-393``).
+def exact_pallas_supported(costmap, K: int) -> bool:
+    """The exact-costmap fused kernel applies when the (padded) map fits
+    the VMEM budget and the rollout batch fills whole lane groups."""
+    return pallas_supported(K) and exact_map_fits(costmap)
 
-    Same scalar packing and per-step semantics as ``_fused_kernel``; the
-    neural field evaluation is replaced by the windowed exact gather.
 
-    refs: [map3 (Wblk, Hp, 128), W_dyn..., b_dyn..., costs_out, crash_out,
-           useq_out, vals_scratch (1, 2K)]
-    """
-    map3_ref = refs[0]
-    wd = refs[1:1 + _n_weight_refs(kind, spec)]
-    n_layers = len(spec) - 1
-    costs_out = refs[-4]
-    crash_out = refs[-3]
-    useq_out = refs[-2]
-    vals_ref = refs[-1]
-
-    K = useq_out.shape[-1]
-    G2 = (2 * K) // LANE
-    sc = scalars_ref
-    nu0, nu1 = sc[0], sc[1]
-    lo0, hi0, lo1, hi1 = sc[2], sc[3], sc[4], sc[5]
-    opt_delay, pure_thresh, k0_flag = sc[6], sc[7], sc[8]
+def _make_exact_lookup(map3_ref, vals_ref, sc, H: int, W: int, Hp: int,
+                       RW: int, Wblk: int, CB: int, K: int):
+    """Build the in-kernel exact costmap sampler (windowed gather with
+    proven-exact fast path + banded full-map fallback — see the section
+    comment above).  Shared by the eps-fed exact kernel and the exact
+    kernel-RNG mode.  Returns ``exact_lookup(px, py) -> (1, 2K)``."""
     rc1x, rc1y, rc1w = sc[16], sc[17], sc[18]
     rc2x, rc2y, rc2w = sc[19], sc[20], sc[21]
     trsx, trsy, trsw = sc[22], sc[23], sc[24]
-    desired_speed, speed_coeff, track_coeff = sc[25], sc[26], sc[27]
-    max_slip_ang, slip_penalty, track_slop, crash_coeff = (
-        sc[28], sc[29], sc[30], sc[31])
-    steering_coeff, throttle_coeff = sc[32], sc[33]
-    boundary_threshold, discount = sc[34], sc[35]
-
-    tile0 = (pl.program_id(0) * K).astype(jnp.float32)
-    k_idx = tile0 + jax.lax.broadcasted_iota(
-        jnp.int32, (1, K), 1).astype(jnp.float32)
-    zero_rollout = (k_idx == 0.0) & (k0_flag > 0.5)
-    pure_noise = k_idx >= pure_thresh
-
-    s0 = jnp.concatenate(
-        [jnp.full((1, K), sc[9 + i]) for i in range(7)]
-        + [jnp.zeros((1, K), jnp.float32)], axis=0)           # (SPAD, K)
+    G2 = (2 * K) // LANE
 
     def map_indices(px, py):
         """World (1, M) coords -> clamped texel indices, bit-matching
@@ -875,6 +845,54 @@ def _fused_exact_kernel(kind: str, spec: tuple, T: int, H: int, W: int,
                 jnp.zeros((1, 2 * K), jnp.float32))
 
         return vals_ref[...]
+
+    return exact_lookup
+
+
+def _fused_exact_kernel(kind: str, spec: tuple, T: int, H: int, W: int,
+                        Hp: int, RW: int, Wblk: int, CB: int,
+                        negate_yaw_der: bool, l1_cost: bool, dt: float,
+                        mm_prec, scalars_ref, U_ref, eps_ref, *refs):
+    """Rollout + cost in one program with *exact* point-sampled costmap
+    lookups (texture semantics of ``costs.cu:128-154, 351-393``).
+
+    Same scalar packing and per-step semantics as ``_fused_kernel``; the
+    neural field evaluation is replaced by the windowed exact gather.
+
+    refs: [map3 (Wblk, Hp, 128), W_dyn..., b_dyn..., costs_out, crash_out,
+           useq_out, vals_scratch (1, 2K)]
+    """
+    map3_ref = refs[0]
+    wd = refs[1:1 + _n_weight_refs(kind, spec)]
+    n_layers = len(spec) - 1
+    costs_out = refs[-4]
+    crash_out = refs[-3]
+    useq_out = refs[-2]
+    vals_ref = refs[-1]
+
+    K = useq_out.shape[-1]
+    sc = scalars_ref
+    nu0, nu1 = sc[0], sc[1]
+    lo0, hi0, lo1, hi1 = sc[2], sc[3], sc[4], sc[5]
+    opt_delay, pure_thresh, k0_flag = sc[6], sc[7], sc[8]
+    desired_speed, speed_coeff, track_coeff = sc[25], sc[26], sc[27]
+    max_slip_ang, slip_penalty, track_slop, crash_coeff = (
+        sc[28], sc[29], sc[30], sc[31])
+    steering_coeff, throttle_coeff = sc[32], sc[33]
+    boundary_threshold, discount = sc[34], sc[35]
+
+    tile0 = (pl.program_id(0) * K).astype(jnp.float32)
+    k_idx = tile0 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, K), 1).astype(jnp.float32)
+    zero_rollout = (k_idx == 0.0) & (k0_flag > 0.5)
+    pure_noise = k_idx >= pure_thresh
+
+    s0 = jnp.concatenate(
+        [jnp.full((1, K), sc[9 + i]) for i in range(7)]
+        + [jnp.zeros((1, K), jnp.float32)], axis=0)           # (SPAD, K)
+
+    exact_lookup = _make_exact_lookup(map3_ref, vals_ref, sc, H, W, Hp,
+                                      RW, Wblk, CB, K)
 
     def step(t, carry):
         s, running, crash = carry
@@ -1094,17 +1112,32 @@ def _kernel_normals(shape):
     return r * jnp.cos(2.0 * jnp.pi * u2)
 
 
-def _fused_rng_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
-                      T: int, negate_yaw_der: bool, l1_cost: bool, dt: float,
+def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
+                      n_field_layers: int, num_freqs: int, T: int,
+                      H: int, W: int, Hp: int, RW: int, Wblk: int, CB: int,
+                      negate_yaw_der: bool, l1_cost: bool, dt: float,
                       mm_prec, scalars_ref, seed_ref, U_ref, *refs):
-    """Pass 1 of the RNG mode: identical to ``_fused_kernel`` but noise is
-    generated in-kernel (seeded per grid cell) and ONLY costs/crash are
-    emitted — no eps input, no u_seq output, nothing per-(t,k) in HBM."""
-    wd = refs[:2 * n_layers]
-    wf = refs[2 * n_layers:2 * (n_layers + n_field_layers)]
-    freqs_ref = refs[2 * (n_layers + n_field_layers)]
-    costs_out = refs[-2]
-    crash_out = refs[-1]
+    """Pass 1 of the RNG mode: identical to ``_fused_kernel`` /
+    ``_fused_exact_kernel`` (``cost_mode`` = "field" | "exact") but noise
+    is generated in-kernel (seeded per grid cell) and ONLY costs/crash are
+    emitted — no eps input, no u_seq output, nothing per-(t,k) in HBM.
+
+    refs: field mode [wd..., wf..., freqs, costs_out, crash_out];
+    exact mode [map3, wd..., costs_out, crash_out, vals_scratch]."""
+    n_w = _n_weight_refs(kind, spec)
+    n_layers = len(spec) - 1
+    if cost_mode == "exact":
+        map3_ref = refs[0]
+        wd = refs[1:1 + n_w]
+        costs_out = refs[-3]
+        crash_out = refs[-2]
+        vals_ref = refs[-1]
+    else:
+        wd = refs[:n_w]
+        wf = refs[n_w:n_w + 2 * n_field_layers]
+        freqs_ref = refs[n_w + 2 * n_field_layers]
+        costs_out = refs[-2]
+        crash_out = refs[-1]
 
     K = costs_out.shape[-1]
     sc = scalars_ref
@@ -1154,6 +1187,12 @@ def _fused_rng_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
                 acts = jnp.maximum(acts, 0.0)
         return acts
 
+    if cost_mode == "exact":
+        lookup = _make_exact_lookup(map3_ref, vals_ref, sc, H, W, Hp,
+                                    RW, Wblk, CB, K)
+    else:
+        lookup = field_eval
+
     def step(t, carry):
         s, running, crash = carry
         frozen = zero_rollout | (t.astype(jnp.float32) < opt_delay)
@@ -1181,7 +1220,7 @@ def _fused_rng_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
 
         px = jnp.concatenate([x + 0.5 * cy, x - 0.5 * cy], axis=1)
         py = jnp.concatenate([y + 0.5 * sy, y - 0.5 * sy], axis=1)
-        fb = field_eval(px, py)
+        fb = lookup(px, py)
         front = fb[:, :K]
         back = fb[:, K:]
         track = (jnp.abs(front) + jnp.abs(back)) * 0.5
@@ -1215,16 +1254,19 @@ def _fused_rng_kernel(n_layers: int, n_field_layers: int, num_freqs: int,
         dx = cy * ux - sy * uy
         dy_ = sy * ux + cy * uy
         dyaw = -yd if negate_yaw_der else yd
-        acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
-        for i in range(n_layers):
-            W = wd[2 * i][:, :]
-            b = wd[2 * i + 1][:, :]
-            acts = jax.lax.dot_general(
-                W, acts, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mm_prec) + b
-            if i < n_layers - 1:
-                acts = jnp.tanh(acts)
+        if kind == "bf":
+            acts = _bf_deriv(wd[0], mm_prec, s[3:7, :], u0, u1)
+        else:
+            acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
+            for i in range(n_layers):
+                W_ = wd[2 * i][:, :]
+                b = wd[2 * i + 1][:, :]
+                acts = jax.lax.dot_general(
+                    W_, acts, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_prec) + b
+                if i < n_layers - 1:
+                    acts = jnp.tanh(acts)
         deriv = jnp.concatenate(
             [dx, dy_, dyaw, acts, jnp.zeros((SPAD - 7, K), jnp.float32)],
             axis=0)
@@ -1278,17 +1320,19 @@ def _weighted_update_kernel(T: int, scalars_ref, seed_ref, U_ref, w_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "dyn_layers", "field_layers", "num_freqs", "T", "K", "negate_yaw_der",
+    "kind", "spec", "cost_mode", "field_layers", "num_freqs", "T", "K",
+    "H", "W", "Hp", "RW", "Wblk", "CB", "negate_yaw_der",
     "l1_cost", "dt", "interpret", "precision"))
-def _fused_rng_pass1(dyn_layers, field_layers, num_freqs, T, K,
+def _fused_rng_pass1(kind, spec, cost_mode, field_layers, num_freqs, T, K,
+                     H, W, Hp, RW, Wblk, CB,
                      negate_yaw_der, l1_cost, dt, interpret,
                      scalars, seed, U, *wb, precision: str = "highest"):
-    n_layers = len(dyn_layers) - 1
     n_field = len(field_layers) - 1
     tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
-    kernel = functools.partial(_fused_rng_kernel, n_layers, n_field,
-                               num_freqs, T, negate_yaw_der, l1_cost, dt,
+    kernel = functools.partial(_fused_rng_kernel, kind, spec, cost_mode,
+                               n_field, num_freqs, T, H, W, Hp, RW, Wblk,
+                               CB, negate_yaw_der, l1_cost, dt,
                                _prec(precision))
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -1301,13 +1345,16 @@ def _fused_rng_pass1(dyn_layers, field_layers, num_freqs, T, K,
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [rep(T, 2)] + [rep(*w.shape) for w in wb],
+        + [rep(T, 2)]
+        + [rep(*w.shape) for w in wb],   # exact mode: wb[0] is the map
         out_specs=(
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=([pltpu.VMEM((1, 2 * tile), jnp.float32)]
+                        if cost_mode == "exact" else []),
         interpret=interpret,
     )(scalars, seed, U, *wb)
     return costs, crash
@@ -1346,10 +1393,10 @@ def fused_rng_costs(model, model_params, cfg, cost_params, field, state, U,
     ``k_offset``/``K_local`` let a sharded caller run its own shard of the
     global rollout batch with a per-shard seed (the ``mppi_controller.cu:612``
     per-controller cuRAND stream, one per chip)."""
-    if model.KERNEL_KIND != "mlp":
+    if model.KERNEL_KIND is None:
         raise NotImplementedError(
-            "kernel-RNG (nothing-in-HBM) mode supports MLP models only; "
-            "the solver gates on KERNEL_KIND before dispatching here")
+            "kernel-RNG (nothing-in-HBM) mode needs a model with an "
+            "in-kernel form (Dynamics.KERNEL_KIND)")
     T = U.shape[0]
     K = cfg.num_rollouts if K_local is None else K_local
     rngs = jnp.reshape(model_params["control_rngs"], (-1, 2))[-2:]
@@ -1384,20 +1431,36 @@ def fused_rng_costs(model, model_params, cfg, cost_params, field, state, U,
     seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
     seed = jnp.stack([seed, seed]).astype(jnp.int32)
 
-    wb = []
-    for W, b in zip(model_params["weights"], model_params["biases"]):
-        wb.append(jnp.transpose(W))
-        wb.append(b[:, None])
-    field_layer_dims = [field.weights[0].shape[0]]
-    for W, b in zip(field.weights, field.biases):
-        wb.append(jnp.transpose(W).astype(jnp.float32))
-        wb.append(b[:, None].astype(jnp.float32))
-        field_layer_dims.append(W.shape[1])
-    num_freqs = int(field.freqs.shape[0])
-    wb.append(field.freqs[:, None])
+    from autorally_tpu.costs.neural_costmap import NeuralCostmap
+
+    wb = list(model.kernel_weights(model_params))
+    if isinstance(field, NeuralCostmap):
+        cost_mode = "field"
+        field_layer_dims = [field.weights[0].shape[0]]
+        for W, b in zip(field.weights, field.biases):
+            wb.append(jnp.transpose(W).astype(jnp.float32))
+            wb.append(b[:, None].astype(jnp.float32))
+            field_layer_dims.append(W.shape[1])
+        num_freqs = int(field.freqs.shape[0])
+        wb.append(field.freqs[:, None])
+        H = W = Hp = RW = Wblk = CB = 0
+    else:
+        # exact reference costmap, VMEM-resident (same layout as
+        # fused_exact_rollout_cost_pallas)
+        cost_mode = "exact"
+        field_layer_dims = [1, 1]
+        num_freqs = 0
+        ch0 = field.data[..., 0]
+        H, W = int(ch0.shape[0]), int(ch0.shape[1])
+        Hp, RW, Wp, Wblk, CB = _exact_dims(H, W)
+        map3 = jnp.transpose(
+            jnp.pad(ch0, ((0, Hp - H), (0, Wp - W))).reshape(Hp, Wblk, LANE),
+            (1, 0, 2))
+        wb = [map3] + wb
 
     costs, crash = _fused_rng_pass1(
-        tuple(model.layers), tuple(field_layer_dims), num_freqs, T, K,
+        model.KERNEL_KIND, tuple(model.kernel_spec()), cost_mode,
+        tuple(field_layer_dims), num_freqs, T, K, H, W, Hp, RW, Wblk, CB,
         model.negate_yaw_der, l1_cost, float(model.dt), interpret,
         sc, seed, U.astype(jnp.float32), *wb, precision=precision)
     ctx = (T, K, interpret, sc, seed, U.astype(jnp.float32))

@@ -314,12 +314,20 @@ class MPPISolver:
 
     def _use_kernel_rng(self, costmap) -> bool:
         from autorally_tpu.costs.neural_costmap import NeuralCostmap
+        from autorally_tpu.ops.rollout_kernel import exact_map_fits
 
-        return (self.cfg.kernel_rng and self.use_pallas_rollout
-                and self.model.KERNEL_KIND == "mlp"
+        if not (self.cfg.kernel_rng and self.use_pallas_rollout
+                and self.model.KERNEL_KIND is not None
                 and self.cfg.noise_sampler == "gaussian"
-                and isinstance(costmap, NeuralCostmap)
-                and type(self.cost) is MPPICost)
+                and type(self.cost) is MPPICost):
+            return False
+        if isinstance(costmap, NeuralCostmap):
+            return True
+        # exact reference costmap: nothing-in-HBM mode composes with the
+        # in-kernel windowed gather when the map fits the VMEM budget
+        # (use_pallas_rollout already vouches for backend + lane alignment)
+        return (type(costmap) is Costmap and self.cfg.exact_fused
+                and exact_map_fits(costmap))
 
     def _solve(self, model_params, cost_params: CostParams, costmap: Costmap,
                state: jnp.ndarray, cs: ControllerState

@@ -140,6 +140,13 @@ def main():
                        kernel_rng=True),
             costmap=nc, n=4, batches=3), 2)
 
+        # capacity mode with the EXACT reference costmap (round-2: the
+        # windowed in-kernel gather composes with the in-kernel RNG)
+        extra["rng_exact_K262144_solves_per_sec"] = round(_bench_cfg(
+            MPPIConfig(num_rollouts=262144, num_timesteps=100,
+                       kernel_rng=True),
+            n=4, batches=3), 2)
+
         # sharded over every available device (1 on this rig: measures the
         # shard_map + collectives overhead; a real slice scales K)
         extra["sharded_K1920_solves_per_sec"] = round(_bench_cfg(

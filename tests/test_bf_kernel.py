@@ -131,16 +131,35 @@ def test_bf_solver_dispatch_pallas_on():
                                                rel=1e-3)
 
 
-def test_bf_kernel_rng_mode_refuses():
-    """kernel-RNG mode is MLP-only; the solver must not dispatch a BF
-    model into it even when cfg.kernel_rng is set."""
+def test_kernel_rng_dispatch_gates():
+    """kernel-RNG dispatch: any model with an in-kernel form qualifies
+    (BF included); a model without one never does; the exact costmap
+    qualifies when it fits the VMEM budget (round-2 exact capacity mode)."""
     from autorally_tpu.costs.neural_costmap import NeuralCostmap
+    from autorally_tpu.models.base import Dynamics
 
     cfg, cm, model, params, cost, _, cp, state, U, eps = _setup()
     cfg_r = cfg.replace(kernel_rng=True, use_pallas_rollout=True)
     solver = MPPISolver(model, MPPICost(), cfg_r)
-    # _use_kernel_rng gates on KERNEL_KIND == "mlp"
+
     class _FakeField(NeuralCostmap):
         def __init__(self):
             pass
-    assert not solver._use_kernel_rng(_FakeField())
+
+    assert solver._use_kernel_rng(_FakeField())       # BF + neural field
+    assert solver._use_kernel_rng(cm)                 # BF + exact costmap
+
+    class _NoKernelModel(Dynamics):
+        pass
+
+    bare = MPPISolver(_NoKernelModel(cfg.dt), MPPICost(), cfg_r)
+    assert not bare._use_kernel_rng(_FakeField())
+
+    # oversized map: exact mode must refuse and fall back
+    import autorally_tpu.ops.rollout_kernel as rk_mod
+    budget = rk_mod.EXACT_VMEM_BUDGET
+    try:
+        rk_mod.EXACT_VMEM_BUDGET = 16
+        assert not solver._use_kernel_rng(cm)
+    finally:
+        rk_mod.EXACT_VMEM_BUDGET = budget

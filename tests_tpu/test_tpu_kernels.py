@@ -258,3 +258,51 @@ def test_bf_exact_fused_matches_scan_on_tpu():
     Us, _ = jax.jit(lambda e: ss.iterate(params, cp, cm, START, U, e))(eps)
     np.testing.assert_allclose(np.asarray(Up), np.asarray(Us),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_kernel_rng_exact_costmap_mode():
+    """Round-2 exact capacity mode: in-kernel RNG + the windowed exact
+    gather — reference-exact track semantics with nothing per-(t,k) in
+    HBM.  Decision-level agreement vs the host-noise exact-fused path,
+    determinism for a fixed key, and the VMEM-budget fallback."""
+    cfg = MPPIConfig(num_rollouts=1920, num_timesteps=100, kernel_rng=True)
+    sp, params, cp, cm, _ = build(pallas=True, exact_fused=True)
+    sp_rng = MPPISolver(sp.model, sp.cost, cfg)
+    assert sp_rng._use_kernel_rng(cm)
+    cs = sp_rng.init_state()
+
+    a, sa = sp_rng.solve(params, cp, cm, START, cs)
+    b, sb = sp.solve(params, cp, cm, START, cs)
+    assert np.isfinite(np.asarray(a.U)).all()
+    # same scenario, different (equally valid) noise streams
+    assert np.abs(np.asarray(a.U) - np.asarray(b.U)).max() < 0.15
+    assert 0.2 < float(sa.ess) / float(sb.ess) < 5.0
+    assert abs(float(sa.crash_frac) - float(sb.crash_frac)) < 0.05
+
+    a2, _ = sp_rng.solve(params, cp, cm, START, cs)
+    np.testing.assert_array_equal(np.asarray(a.U), np.asarray(a2.U))
+
+
+def test_kernel_rng_exact_bf_model():
+    """Both round-2 extensions composed: the basis-function family in
+    kernel-RNG mode over the exact costmap."""
+    from autorally_tpu.models import BasisFunctionDynamics
+
+    BF_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
+              "models/basis_function_09_12_2018.npz")
+    cfg = MPPIConfig(num_rollouts=2560, num_timesteps=100, kernel_rng=True)
+    data, xb, yb = oval_track(ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    model = BasisFunctionDynamics(cfg.dt)
+    params = model.load_params(BF_NPZ)
+    sp_rng = MPPISolver(model, MPPICost(), cfg)
+    assert sp_rng._use_kernel_rng(cm)
+    sp = MPPISolver(model, MPPICost(),
+                    cfg.replace(kernel_rng=False, exact_fused=True))
+    cs = sp_rng.init_state()
+
+    a, sa = sp_rng.solve(params, cp_ := CostParams(), cm, START, cs)
+    b, sb = sp.solve(params, cp_, cm, START, cs)
+    assert np.isfinite(np.asarray(a.U)).all()
+    assert np.abs(np.asarray(a.U) - np.asarray(b.U)).max() < 0.15
+    assert 0.2 < float(sa.ess) / float(sb.ess) < 5.0
