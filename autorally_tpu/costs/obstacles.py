@@ -11,8 +11,11 @@ obstacle updates are pytree swaps at pose rate with no recompilation
 :class:`ObstacleCost` extends :class:`MPPICost` by adding, per
 rollout-step, a repulsive penalty inside an inflation band around each
 obstacle and a crash latch on penetration — composed into the track term
-so every solver path (scan, Pallas chain + batched epilogue) picks it up
-unchanged.
+so every solver path picks it up: the scan path and chain+epilogue path
+dispatch through ``track_cost_c``; the fully-fused Pallas kernels
+(exact, neural-field, and kernel-RNG) evaluate the same circle terms
+in-kernel from the SMEM scalar vector (``rollout_kernel._obstacle_terms``,
+parity-tested against this class).
 """
 
 from __future__ import annotations

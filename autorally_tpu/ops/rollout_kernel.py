@@ -135,6 +135,53 @@ def _n_weight_refs(kind: str, spec: tuple) -> int:
     return 2 * (len(spec) - 1) if kind == "mlp" else 1
 
 
+def _obstacle_terms(sc, n_obs: int, x, y):
+    """In-kernel circular-obstacle penalty + penetration hit.
+
+    Lane-batched ``ObstacleCost.obstacle_cost_c`` (costs/obstacles.py):
+    linear band from 0 at radius+inflation to ``obstacle_coeff`` at the
+    boundary, hit inside the radius.  Obstacle scalars ride the SMEM
+    vector at [40:40+3*n_obs] as [ox..., oy..., radius...] (radius <= 0
+    = inactive slot), so obstacle *moves* are traced-value updates — the
+    fixed capacity ``n_obs`` is the only compile-time part.
+
+    ``x``/``y``: (1, K) car centers.  Returns (cost (1, K), hit (1, K)).
+    """
+    coeff = sc[36]
+    inflation = sc[37]
+    base = 40
+    band_max = jnp.zeros_like(x)
+    hit = jnp.zeros_like(x)
+    for i in range(n_obs):
+        ox = sc[base + i]
+        oy = sc[base + n_obs + i]
+        orad = sc[base + 2 * n_obs + i]
+        active = orad > 0.0
+        d = jnp.sqrt((x - ox) ** 2 + (y - oy) ** 2)
+        margin = d - orad
+        band = jnp.clip(1.0 - margin / inflation, 0.0, 1.0)
+        band_max = jnp.maximum(band_max, jnp.where(active, band, 0.0))
+        hit = jnp.maximum(hit, jnp.where(active & (margin <= 0.0),
+                                         1.0, 0.0))
+    return coeff * band_max, hit
+
+
+def _append_obstacles(sc, obstacles, obstacle_coeff: float,
+                      inflation: float):
+    """Extend the (40,) scalar vector with the obstacle block; returns
+    (sc, n_obs).  ``obstacles``: (capacity, 3) [x, y, radius] or None."""
+    if obstacles is None:
+        return sc, 0
+    n_obs = int(obstacles.shape[0])
+    sc = jnp.concatenate([sc, jnp.zeros((3 * n_obs,), jnp.float32)])
+    sc = sc.at[36].set(obstacle_coeff)
+    sc = sc.at[37].set(inflation)
+    sc = sc.at[40:40 + n_obs].set(obstacles[:, 0])
+    sc = sc.at[40 + n_obs:40 + 2 * n_obs].set(obstacles[:, 1])
+    sc = sc.at[40 + 2 * n_obs:40 + 3 * n_obs].set(obstacles[:, 2])
+    return sc, n_obs
+
+
 PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
               "high": jax.lax.Precision.HIGH,
               "default": jax.lax.Precision.DEFAULT}
@@ -392,7 +439,7 @@ def nominal_trajectory_pallas(model, model_params, cfg, state, U,
 # ---------------------------------------------------------------------------
 
 def _fused_kernel(kind: str, spec: tuple, n_field_layers: int,
-                  num_freqs: int, T: int, negate_yaw_der: bool,
+                  num_freqs: int, n_obs: int, T: int, negate_yaw_der: bool,
                   l1_cost: bool, dt: float, mm_prec, scalars_ref, U_ref,
                   eps_ref, *refs):
     """Rollout + cost in one program (the full ``rolloutKernel``).
@@ -526,6 +573,11 @@ def _fused_kernel(kind: str, spec: tuple, n_field_layers: int,
         crash = jnp.maximum(crash, jnp.where(
             ((front >= boundary_threshold) | (back >= boundary_threshold))
             & (t > 0), 1.0, 0.0))
+        if n_obs:
+            ob_cost, ob_hit = _obstacle_terms(sc, n_obs, x, y)
+            track = track + ob_cost
+            crash = jnp.maximum(crash, jnp.where(
+                (ob_hit > 0.0) & (t > 0), 1.0, 0.0))
 
         err = ux - desired_speed
         speed = speed_coeff * (jnp.abs(err) if l1_cost else err * err)
@@ -593,9 +645,9 @@ def _fused_kernel(kind: str, spec: tuple, n_field_layers: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kind", "spec", "field_layers", "num_freqs", "T", "K", "negate_yaw_der",
-    "l1_cost", "dt", "interpret", "precision"))
-def _fused_rollout_cost(kind, spec, field_layers, num_freqs, T, K,
+    "kind", "spec", "field_layers", "num_freqs", "n_obs", "T", "K",
+    "negate_yaw_der", "l1_cost", "dt", "interpret", "precision"))
+def _fused_rollout_cost(kind, spec, field_layers, num_freqs, n_obs, T, K,
                         negate_yaw_der, l1_cost, dt, interpret,
                         scalars, U, eps, *wb, precision: str = "highest"):
     n_field = len(field_layers) - 1
@@ -603,7 +655,7 @@ def _fused_rollout_cost(kind, spec, field_layers, num_freqs, T, K,
     tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
     kernel = functools.partial(_fused_kernel, kind, spec, n_field, num_freqs,
-                               T, negate_yaw_der, l1_cost, dt,
+                               n_obs, T, negate_yaw_der, l1_cost, dt,
                                _prec(precision))
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -637,7 +689,9 @@ def _fused_rollout_cost(kind, spec, field_layers, num_freqs, T, K,
 
 def fused_rollout_cost_pallas(model, model_params, cfg, cost_params, field,
                               state, U, eps, l1_cost=False, k_offset=0,
-                              interpret=False, precision: str = "highest"):
+                              interpret=False, precision: str = "highest",
+                              obstacles=None, obstacle_coeff: float = 0.0,
+                              inflation: float = 1.0):
     """Fully-fused rollout + cost for a :class:`NeuralCostmap` field.
 
     Returns (total_costs (K,), u_seq (C, T, K), crash (K,)) — the
@@ -670,6 +724,7 @@ def fused_rollout_cost_pallas(model, model_params, cfg, cost_params, field,
     sc = sc.at[33].set(cost_params.throttle_coeff)
     sc = sc.at[34].set(cost_params.boundary_threshold)
     sc = sc.at[35].set(cost_params.discount)
+    sc, n_obs = _append_obstacles(sc, obstacles, obstacle_coeff, inflation)
 
     eps_t = jnp.transpose(eps, (0, 2, 1))
 
@@ -684,7 +739,7 @@ def fused_rollout_cost_pallas(model, model_params, cfg, cost_params, field,
 
     costs, crash, useq = _fused_rollout_cost(
         model.KERNEL_KIND, tuple(model.kernel_spec()),
-        tuple(field_layer_dims), num_freqs, T, K,
+        tuple(field_layer_dims), num_freqs, n_obs, T, K,
         model.negate_yaw_der, l1_cost, float(model.dt), interpret,
         sc, U.astype(jnp.float32), eps_t, *wb, precision=precision)
     return costs[0], useq, crash[0].astype(jnp.int32)
@@ -849,7 +904,8 @@ def _make_exact_lookup(map3_ref, vals_ref, sc, H: int, W: int, Hp: int,
     return exact_lookup
 
 
-def _fused_exact_kernel(kind: str, spec: tuple, T: int, H: int, W: int,
+def _fused_exact_kernel(kind: str, spec: tuple, n_obs: int, T: int,
+                        H: int, W: int,
                         Hp: int, RW: int, Wblk: int, CB: int,
                         negate_yaw_der: bool, l1_cost: bool, dt: float,
                         mm_prec, scalars_ref, U_ref, eps_ref, *refs):
@@ -935,6 +991,11 @@ def _fused_exact_kernel(kind: str, spec: tuple, T: int, H: int, W: int,
         crash = jnp.maximum(crash, jnp.where(
             ((front >= boundary_threshold) | (back >= boundary_threshold))
             & (t > 0), 1.0, 0.0))
+        if n_obs:
+            ob_cost, ob_hit = _obstacle_terms(sc, n_obs, x, y)
+            track = track + ob_cost
+            crash = jnp.maximum(crash, jnp.where(
+                (ob_hit > 0.0) & (t > 0), 1.0, 0.0))
 
         err = ux - desired_speed
         speed = speed_coeff * (jnp.abs(err) if l1_cost else err * err)
@@ -988,15 +1049,16 @@ def _fused_exact_kernel(kind: str, spec: tuple, T: int, H: int, W: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kind", "spec", "T", "K", "H", "W", "Hp", "RW", "Wblk", "CB",
+    "kind", "spec", "n_obs", "T", "K", "H", "W", "Hp", "RW", "Wblk", "CB",
     "negate_yaw_der", "l1_cost", "dt", "interpret", "precision"))
-def _fused_exact_call(kind, spec, T, K, H, W, Hp, RW, Wblk, CB,
+def _fused_exact_call(kind, spec, n_obs, T, K, H, W, Hp, RW, Wblk, CB,
                       negate_yaw_der, l1_cost, dt, interpret,
                       scalars, U, eps, map3, *wb, precision: str = "highest"):
     C = 2
     tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
-    kernel = functools.partial(_fused_exact_kernel, kind, spec, T, H, W, Hp,
+    kernel = functools.partial(_fused_exact_kernel, kind, spec, n_obs, T,
+                               H, W, Hp,
                                RW, Wblk, CB, negate_yaw_der, l1_cost, dt,
                                _prec(precision))
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -1034,7 +1096,10 @@ def _fused_exact_call(kind, spec, T, K, H, W, Hp, RW, Wblk, CB,
 def fused_exact_rollout_cost_pallas(model, model_params, cfg, cost_params,
                                     costmap, state, U, eps, l1_cost=False,
                                     k_offset=0, interpret=False,
-                                    precision: str = "highest"):
+                                    precision: str = "highest",
+                                    obstacles=None,
+                                    obstacle_coeff: float = 0.0,
+                                    inflation: float = 1.0):
     """Fully-fused rollout + cost with the *exact* reference costmap.
 
     Same contract as :func:`fused_rollout_cost_pallas` but for a
@@ -1069,6 +1134,7 @@ def fused_exact_rollout_cost_pallas(model, model_params, cfg, cost_params,
     sc = sc.at[33].set(cost_params.throttle_coeff)
     sc = sc.at[34].set(cost_params.boundary_threshold)
     sc = sc.at[35].set(cost_params.discount)
+    sc, n_obs = _append_obstacles(sc, obstacles, obstacle_coeff, inflation)
 
     eps_t = jnp.transpose(eps, (0, 2, 1))
 
@@ -1082,7 +1148,8 @@ def fused_exact_rollout_cost_pallas(model, model_params, cfg, cost_params,
         (1, 0, 2))                                            # (Wblk, Hp, 128)
 
     costs, crash, useq = _fused_exact_call(
-        model.KERNEL_KIND, tuple(model.kernel_spec()), T, K, H, W, Hp, RW,
+        model.KERNEL_KIND, tuple(model.kernel_spec()), n_obs, T, K, H, W,
+        Hp, RW,
         Wblk, CB, model.negate_yaw_der, l1_cost, float(model.dt), interpret,
         sc, U.astype(jnp.float32), eps_t, map3, *wb, precision=precision)
     return costs[0], useq, crash[0].astype(jnp.int32)
@@ -1113,7 +1180,8 @@ def _kernel_normals(shape):
 
 
 def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
-                      n_field_layers: int, num_freqs: int, T: int,
+                      n_field_layers: int, num_freqs: int, n_obs: int,
+                      T: int,
                       H: int, W: int, Hp: int, RW: int, Wblk: int, CB: int,
                       negate_yaw_der: bool, l1_cost: bool, dt: float,
                       mm_prec, scalars_ref, seed_ref, U_ref, *refs):
@@ -1230,6 +1298,11 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
         crash = jnp.maximum(crash, jnp.where(
             ((front >= boundary_threshold) | (back >= boundary_threshold))
             & (t > 0), 1.0, 0.0))
+        if n_obs:
+            ob_cost, ob_hit = _obstacle_terms(sc, n_obs, x, y)
+            track = track + ob_cost
+            crash = jnp.maximum(crash, jnp.where(
+                (ob_hit > 0.0) & (t > 0), 1.0, 0.0))
 
         err = ux - desired_speed
         speed = speed_coeff * (jnp.abs(err) if l1_cost else err * err)
@@ -1320,10 +1393,12 @@ def _weighted_update_kernel(T: int, scalars_ref, seed_ref, U_ref, w_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kind", "spec", "cost_mode", "field_layers", "num_freqs", "T", "K",
+    "kind", "spec", "cost_mode", "field_layers", "num_freqs", "n_obs",
+    "T", "K",
     "H", "W", "Hp", "RW", "Wblk", "CB", "negate_yaw_der",
     "l1_cost", "dt", "interpret", "precision"))
-def _fused_rng_pass1(kind, spec, cost_mode, field_layers, num_freqs, T, K,
+def _fused_rng_pass1(kind, spec, cost_mode, field_layers, num_freqs, n_obs,
+                     T, K,
                      H, W, Hp, RW, Wblk, CB,
                      negate_yaw_der, l1_cost, dt, interpret,
                      scalars, seed, U, *wb, precision: str = "highest"):
@@ -1331,7 +1406,8 @@ def _fused_rng_pass1(kind, spec, cost_mode, field_layers, num_freqs, T, K,
     tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
     kernel = functools.partial(_fused_rng_kernel, kind, spec, cost_mode,
-                               n_field, num_freqs, T, H, W, Hp, RW, Wblk,
+                               n_field, num_freqs, n_obs, T, H, W, Hp, RW,
+                               Wblk,
                                CB, negate_yaw_der, l1_cost, dt,
                                _prec(precision))
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -1385,7 +1461,9 @@ def _fused_rng_pass2(T, K, interpret, scalars, seed, U, w):
 
 def fused_rng_costs(model, model_params, cfg, cost_params, field, state, U,
                     key, l1_cost=False, k_offset=0, K_local=None,
-                    interpret=False, precision: str = "highest"):
+                    interpret=False, precision: str = "highest",
+                    obstacles=None, obstacle_coeff: float = 0.0,
+                    inflation: float = 1.0):
     """Pass 1 of the nothing-in-HBM mode as a standalone step: in-kernel
     noise, returns ``(total (K_local,), crash (K_local,), ctx)`` where
     ``ctx`` replays the identical noise stream in :func:`fused_rng_numer`.
@@ -1425,6 +1503,7 @@ def fused_rng_costs(model, model_params, cfg, cost_params, field, state, U,
     sc = sc.at[33].set(cost_params.throttle_coeff)
     sc = sc.at[34].set(cost_params.boundary_threshold)
     sc = sc.at[35].set(cost_params.discount)
+    sc, n_obs = _append_obstacles(sc, obstacles, obstacle_coeff, inflation)
 
     # deterministic seed from the jax key (plus a large odd stride per
     # iteration is the caller's job via key folding)
@@ -1460,7 +1539,8 @@ def fused_rng_costs(model, model_params, cfg, cost_params, field, state, U,
 
     costs, crash = _fused_rng_pass1(
         model.KERNEL_KIND, tuple(model.kernel_spec()), cost_mode,
-        tuple(field_layer_dims), num_freqs, T, K, H, W, Hp, RW, Wblk, CB,
+        tuple(field_layer_dims), num_freqs, n_obs, T, K,
+        H, W, Hp, RW, Wblk, CB,
         model.negate_yaw_der, l1_cost, float(model.dt), interpret,
         sc, seed, U.astype(jnp.float32), *wb, precision=precision)
     ctx = (T, K, interpret, sc, seed, U.astype(jnp.float32))
@@ -1478,7 +1558,9 @@ def fused_rng_numer(ctx, w):
 
 def fused_rng_solve_iteration(model, model_params, cfg, cost_params, field,
                               state, U, key, l1_cost=False, k_offset=0,
-                              interpret=False, precision: str = "highest"):
+                              interpret=False, precision: str = "highest",
+                              obstacles=None, obstacle_coeff: float = 0.0,
+                              inflation: float = 1.0):
     """One full MPPI iteration in nothing-in-HBM mode: pass 1 computes
     rollout costs with in-kernel noise; the softmax weights are computed
     in XLA; pass 2 regenerates the same noise and contracts it with the
@@ -1487,7 +1569,8 @@ def fused_rng_solve_iteration(model, model_params, cfg, cost_params, field,
     total, crash, ctx = fused_rng_costs(
         model, model_params, cfg, cost_params, field, state, U, key,
         l1_cost=l1_cost, k_offset=k_offset, interpret=interpret,
-        precision=precision)
+        precision=precision, obstacles=obstacles,
+        obstacle_coeff=obstacle_coeff, inflation=inflation)
     baseline = jnp.min(total)
     w = jnp.exp(-cfg.gamma * (total - baseline))
     eta = jnp.sum(w)

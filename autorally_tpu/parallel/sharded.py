@@ -127,7 +127,8 @@ class ShardedMPPISolver(MPPISolver):
                 state.astype(jnp.float32), U, shard_key,
                 l1_cost=self.cost.l1_cost, k_offset=idx * K_local,
                 K_local=K_local, interpret=self._pallas_interpret,
-                precision=cfg.matmul_precision)
+                precision=cfg.matmul_precision,
+                **self._obstacle_kwargs())
 
             baseline = lax.pmin(jnp.min(total), axis)
             w = jnp.exp(-cfg.gamma * (total - baseline))

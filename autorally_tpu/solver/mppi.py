@@ -105,6 +105,24 @@ class MPPISolver:
     def _local_rollouts(self) -> int:
         return self.cfg.num_rollouts
 
+    def _fusable_cost(self) -> bool:
+        """Cost objects the fused kernels implement natively: the base
+        MPPICost and ObstacleCost (whose circle terms fuse in-kernel).
+        Other subclasses take the chain + batched-epilogue path, which
+        dispatches dynamically through the subclass."""
+        from autorally_tpu.costs.obstacles import ObstacleCost
+
+        return type(self.cost) in (MPPICost, ObstacleCost)
+
+    def _obstacle_kwargs(self) -> dict:
+        from autorally_tpu.costs.obstacles import ObstacleCost
+
+        if type(self.cost) is ObstacleCost:
+            return {"obstacles": self.cost.obstacles,
+                    "obstacle_coeff": self.cost.obstacle_coeff,
+                    "inflation": self.cost.inflation}
+        return {}
+
     # ------------------------------------------------------------------
     # construction helpers
     # ------------------------------------------------------------------
@@ -165,7 +183,7 @@ class MPPISolver:
         from autorally_tpu.costs.neural_costmap import NeuralCostmap
 
         if (self.use_pallas_rollout and cfg.exact_fused
-                and type(costmap) is Costmap and type(self.cost) is MPPICost):
+                and type(costmap) is Costmap and self._fusable_cost()):
             from autorally_tpu.ops.rollout_kernel import (
                 exact_pallas_supported, fused_exact_rollout_cost_pallas)
 
@@ -179,17 +197,19 @@ class MPPISolver:
                     model, model_params, cfg, cost_params, costmap, state,
                     U, eps, l1_cost=cost.l1_cost, k_offset=k_offset,
                     interpret=self._pallas_interpret,
-                    precision=cfg.matmul_precision)
+                    precision=cfg.matmul_precision,
+                    **self._obstacle_kwargs())
 
         if (self.use_pallas_rollout and isinstance(costmap, NeuralCostmap)
-                and type(self.cost) is MPPICost):
+                and self._fusable_cost()):
             # Neural-field costmap: the whole rolloutKernel (dynamics AND
             # cost) fuses into one Pallas program — no gather, no state
             # materialization (ops/rollout_kernel.py).  Assumes the default
-            # zero terminal cost (costs.cu:411-414).  Cost *subclasses*
-            # (e.g. ObstacleCost's track_cost_c override) cannot fuse —
-            # they fall through to the dynamics-chain kernel + batched
-            # cost epilogue below, which dispatches through the subclass.
+            # zero terminal cost (costs.cu:411-414).  ObstacleCost fuses
+            # too (the circle terms ride the SMEM scalar vector); any
+            # OTHER cost subclass falls through to the dynamics-chain
+            # kernel + batched cost epilogue below, which dispatches
+            # through the subclass.
             from autorally_tpu.ops.rollout_kernel import (
                 fused_rollout_cost_pallas)
 
@@ -197,7 +217,8 @@ class MPPISolver:
                 model, model_params, cfg, cost_params, costmap, state, U,
                 eps, l1_cost=cost.l1_cost, k_offset=k_offset,
                 interpret=self._pallas_interpret,
-                precision=cfg.matmul_precision)
+                precision=cfg.matmul_precision,
+                **self._obstacle_kwargs())
 
         if self.use_pallas_rollout:
             from autorally_tpu.ops.rollout_kernel import dynamics_chain_pallas
@@ -319,7 +340,7 @@ class MPPISolver:
         if not (self.cfg.kernel_rng and self.use_pallas_rollout
                 and self.model.KERNEL_KIND is not None
                 and self.cfg.noise_sampler == "gaussian"
-                and type(self.cost) is MPPICost):
+                and self._fusable_cost()):
             return False
         if isinstance(costmap, NeuralCostmap):
             return True
@@ -352,7 +373,8 @@ class MPPISolver:
                     state.astype(jnp.float32), U, sub,
                     l1_cost=self.cost.l1_cost,
                     interpret=self._pallas_interpret,
-                    precision=cfg.matmul_precision)
+                    precision=cfg.matmul_precision,
+                    **self._obstacle_kwargs())
                 baseline = jnp.min(total)
                 w = jnp.exp(-cfg.gamma * (total - baseline))
                 eta = jnp.sum(w)

@@ -78,3 +78,87 @@ def test_obstacle_hot_swap_shapes():
     cost = ObstacleCost(make_obstacles([], capacity=8))
     cost2 = cost.with_obstacles([[1, 1, 0.3], [2, 2, 0.4]])
     assert cost2.obstacles.shape == (8, 3)
+
+
+def _fused_setup(K=256, T=24):
+    import jax
+
+    cfg = MPPIConfig(num_rollouts=K, num_timesteps=T)
+    data, xb, yb = oval_track(ppm=2.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    # directly in the 1.4 m the swarm covers in T steps at ~3 m/s
+    cost = ObstacleCost(make_obstacles([[25.0, 1.0, 0.4], [24.6, 0.6, 0.25]],
+                                       capacity=8),
+                        obstacle_coeff=250.0, inflation=1.5)
+    solver = MPPISolver(model, cost, cfg)
+    state = jnp.asarray([25.0, 0.0, np.pi / 2, 0.0, 3.0, 0.0, 0.0],
+                        dtype=jnp.float32)
+    U = jnp.tile(jnp.asarray([0.0, 0.3], jnp.float32), (T, 1))
+    eps = jax.random.normal(jax.random.PRNGKey(9), (T, K, 2),
+                            dtype=jnp.float32)
+    return cfg, cm, model, params, cost, solver, state, U, eps
+
+
+def test_obstacles_fuse_into_exact_kernel():
+    """Round-2: ObstacleCost fuses into the exact-costmap Pallas kernel
+    (circle terms on the SMEM scalar vector) — costs AND the crash latch
+    must match the scan path, which routes through
+    ObstacleCost.track_cost_c."""
+    from autorally_tpu.ops import rollout_kernel as rk
+
+    cfg, cm, model, params, cost, solver, state, U, eps = _fused_setup()
+    ref_total, ref_useq, ref_crash = solver.rollout_costs(
+        params, CostParams(), cm, state, U, eps)
+    total, useq, crash = rk.fused_exact_rollout_cost_pallas(
+        model, params, cfg, CostParams(), cm, state, U, eps,
+        l1_cost=cost.l1_cost, interpret=True,
+        obstacles=cost.obstacles, obstacle_coeff=cost.obstacle_coeff,
+        inflation=cost.inflation)
+    assert int(np.asarray(ref_crash).sum()) > 0, "test needs hits to mean something"
+    np.testing.assert_array_equal(np.asarray(crash), np.asarray(ref_crash))
+    np.testing.assert_allclose(np.asarray(total), np.asarray(ref_total),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_obstacles_fuse_into_neural_kernel():
+    """Same, through the neural-field fused kernel: obstacle terms are
+    identical (the circles don't involve the costmap); compare the
+    obstacle-term delta between fused and scan paths."""
+    from autorally_tpu.costs.neural_costmap import fit_neural_costmap
+    from autorally_tpu.ops import rollout_kernel as rk
+
+    cfg, cm, model, params, cost, solver, state, U, eps = _fused_setup()
+    nc, _ = fit_neural_costmap(cm, epochs=200)
+
+    # scan path with the neural costmap (lookup dispatches through nc)
+    ref_total, _, ref_crash = solver.rollout_costs(
+        params, CostParams(), nc, state, U, eps)
+    total, _, crash = rk.fused_rollout_cost_pallas(
+        model, params, cfg, CostParams(), nc, state, U, eps,
+        l1_cost=cost.l1_cost, interpret=True,
+        obstacles=cost.obstacles, obstacle_coeff=cost.obstacle_coeff,
+        inflation=cost.inflation)
+    np.testing.assert_array_equal(np.asarray(crash), np.asarray(ref_crash))
+    np.testing.assert_allclose(np.asarray(total), np.asarray(ref_total),
+                               rtol=2e-4, atol=1e-3)
+
+
+def test_obstacle_solver_dispatch_fused_matches_scan():
+    """Full solve through the solver's own dispatch: forced-on Pallas
+    (interpret) with ObstacleCost must take the fused path and agree with
+    the scan solve."""
+    cfg, cm, model, params, cost, _, state, U, eps = _fused_setup()
+    cfg_p = cfg.replace(use_pallas_rollout=True)
+    sp = MPPISolver(model, cost, cfg_p)
+    sp._pallas_interpret = True
+    assert sp._fusable_cost() and sp.use_pallas_rollout
+    ss = MPPISolver(model, cost, cfg)
+    assert not ss.use_pallas_rollout
+
+    csp, stp = sp.solve(params, CostParams(), cm, state, sp.init_state())
+    css, sts = ss.solve(params, CostParams(), cm, state, ss.init_state())
+    np.testing.assert_allclose(np.asarray(csp.U), np.asarray(css.U),
+                               rtol=2e-4, atol=2e-4)
+    assert float(stp.crash_frac) == pytest.approx(float(sts.crash_frac))
