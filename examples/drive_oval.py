@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--bf", action="store_true",
                     help="use the 25-basis-function dynamics model "
                          "(path_integral_bf equivalent)")
+    ap.add_argument("--obstacles", default=None,
+                    help="semicolon-separated circles 'x,y,r;x,y,r' — "
+                         "dynamic obstacle avoidance (fused in-kernel)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -73,7 +76,19 @@ def main():
         model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
         params = model.load_params(args.model)
 
-    solver = MPPISolver(model, MPPICost(cfg.l1_cost), cfg)
+    if args.obstacles:
+        from autorally_tpu.costs.obstacles import ObstacleCost, make_obstacles
+
+        circles = [[float(v) for v in c.split(",")]
+                   for c in args.obstacles.split(";")]
+        # band tuned for the 6 m demo lane: hard wall at the circle, but
+        # the ramp stays narrow enough that passing beats stopping
+        cost = ObstacleCost(make_obstacles(circles), obstacle_coeff=150.0,
+                            inflation=0.75, l1_cost=cfg.l1_cost)
+        print(f"obstacles: {circles}")
+    else:
+        cost = MPPICost(cfg.l1_cost)
+    solver = MPPISolver(model, cost, cfg)
     cs = solver.init_state()
 
     # Start on the right side of the oval, pointing up (+y), at rest.
