@@ -61,6 +61,11 @@ class CostParams:
     throttle_coeff: jnp.ndarray = 0.0
     boundary_threshold: jnp.ndarray = 0.65
     discount: jnp.ndarray = 0.1
+    # Live obstacle positions for ObstacleCost: (capacity, 3) [x, y, radius]
+    # (see costs/obstacles.py::make_obstacles) or None to use the cost
+    # object's construction-time array.  A traced pytree leaf, so MOVING
+    # obstacles update at pose rate with zero recompiles (capacity fixed).
+    obstacles: Any = None
 
     def replace(self, **kw) -> "CostParams":
         return dataclasses.replace(self, **kw)

@@ -45,11 +45,11 @@ def make_obstacles(circles, capacity: int = 16) -> jnp.ndarray:
 class ObstacleCost(MPPICost):
     """MPPICost + circular obstacles.
 
-    ``obstacles``: (N, 3) padded array (see :func:`make_obstacles`) — held
-    on the cost object but traced through the solve via closure over the
-    jitted function's captured pytree... to keep it hot-swappable, pass a
-    new instance to the controller's ``update_cost`` path or use
-    :meth:`with_obstacles`.
+    ``obstacles``: (N, 3) padded array (see :func:`make_obstacles`).  The
+    construction-time array is baked into the jitted solve as a constant;
+    for LIVE obstacle motion pass the current array per replan through
+    ``CostParams(obstacles=...)`` — a traced pytree leaf, so position
+    updates at pose rate never recompile (same capacity ⇒ same trace).
     ``obstacle_coeff``: penalty scale inside the inflation band.
     ``inflation``: band width (m) beyond the radius where cost ramps.
     """
@@ -74,10 +74,14 @@ class ObstacleCost(MPPICost):
         Cost ramps linearly from 0 at radius+inflation to
         ``obstacle_coeff`` at the boundary; penetration latches crash
         (same latch the track boundary uses, costs.cu:389-391).
+        ``p.obstacles``, when set, overrides the construction-time array —
+        the live (zero-recompile) obstacle-update path.
         """
-        ox = self.obstacles[:, 0]
-        oy = self.obstacles[:, 1]
-        orad = self.obstacles[:, 2]
+        obstacles = (p.obstacles if p.obstacles is not None
+                     else self.obstacles)
+        ox = obstacles[:, 0]
+        oy = obstacles[:, 1]
+        orad = obstacles[:, 2]
         active = orad > 0
         # distance from each sample to each obstacle: (..., N)
         d = jnp.sqrt((x[..., None] - ox) ** 2 + (y[..., None] - oy) ** 2)

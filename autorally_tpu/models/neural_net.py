@@ -81,10 +81,14 @@ class NeuralNetDynamics(Dynamics):
         layers = []
         i = 1
         while f"dynamics_W{i}" in data.files:
-            W = data[f"dynamics_W{i}"]
+            # infer from element COUNTS (bias size = fan_out), so flat or
+            # oddly-shaped weight arrays — which load_params reshapes —
+            # infer the same spec it will load
+            out = int(np.asarray(data[f"dynamics_b{i}"]).size)
             if not layers:
-                layers.append(int(W.shape[1]))
-            layers.append(int(W.shape[0]))
+                layers.append(
+                    int(np.asarray(data[f"dynamics_W{i}"]).size) // out)
+            layers.append(out)
             i += 1
         model = cls(dt, layers=layers, control_ranges=control_ranges,
                     negate_yaw_der=negate_yaw_der)

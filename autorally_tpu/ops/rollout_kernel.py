@@ -135,8 +135,27 @@ def _n_weight_refs(kind: str, spec: tuple) -> int:
     return 2 * (len(spec) - 1) if kind == "mlp" else 1
 
 
-def _obstacle_terms(sc, n_obs: int, x, y):
-    """In-kernel circular-obstacle penalty + penetration hit.
+def _mlp_deriv_concat(wrefs, mm_prec, d4, u0, u1):
+    """Concat-input MLP forward (``neural_net_model.cu:358-410``, batched
+    over lanes): acts (6, K) -> ... -> (4, K), each layer one MXU matmul.
+    Shared by the chain, exact, and RNG kernels; the neural-field kernel
+    keeps its split-W0 variant (no input concat)."""
+    n_layers = len(wrefs) // 2
+    acts = jnp.concatenate([d4, u0, u1], axis=0)
+    for i in range(n_layers):
+        W = wrefs[2 * i][:, :]               # (out, in)
+        b = wrefs[2 * i + 1][:, :]           # (out, 1)
+        acts = jax.lax.dot_general(
+            W, acts, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mm_prec) + b
+        if i < n_layers - 1:
+            acts = jnp.tanh(acts)
+    return acts
+
+
+def _make_obstacle_terms(sc, n_obs: int):
+    """Build the in-kernel circular-obstacle evaluator.
 
     Lane-batched ``ObstacleCost.obstacle_cost_c`` (costs/obstacles.py):
     linear band from 0 at radius+inflation to ``obstacle_coeff`` at the
@@ -145,25 +164,34 @@ def _obstacle_terms(sc, n_obs: int, x, y):
     = inactive slot), so obstacle *moves* are traced-value updates — the
     fixed capacity ``n_obs`` is the only compile-time part.
 
-    ``x``/``y``: (1, K) car centers.  Returns (cost (1, K), hit (1, K)).
+    The circle columns are materialized ONCE as (n_obs, 1) blocks outside
+    the horizon loop, so each step is one batched (n_obs, K) computation
+    + a sublane max-reduce rather than n_obs separate (1, K) passes.
+
+    Returns ``terms(x, y) -> (cost (1, K), hit (1, K))``.
     """
     coeff = sc[36]
     inflation = sc[37]
     base = 40
-    band_max = jnp.zeros_like(x)
-    hit = jnp.zeros_like(x)
-    for i in range(n_obs):
-        ox = sc[base + i]
-        oy = sc[base + n_obs + i]
-        orad = sc[base + 2 * n_obs + i]
-        active = orad > 0.0
-        d = jnp.sqrt((x - ox) ** 2 + (y - oy) ** 2)
+    col = lambda off: jnp.concatenate(
+        [jnp.full((1, 1), sc[base + off + i]) for i in range(n_obs)],
+        axis=0)                                           # (n_obs, 1)
+    ox = col(0)
+    oy = col(n_obs)
+    orad = col(2 * n_obs)
+    active = orad > 0.0
+
+    def terms(x, y):
+        d = jnp.sqrt((x - ox) ** 2 + (y - oy) ** 2)       # (n_obs, K)
         margin = d - orad
         band = jnp.clip(1.0 - margin / inflation, 0.0, 1.0)
-        band_max = jnp.maximum(band_max, jnp.where(active, band, 0.0))
-        hit = jnp.maximum(hit, jnp.where(active & (margin <= 0.0),
-                                         1.0, 0.0))
-    return coeff * band_max, hit
+        band = jnp.where(active, band, 0.0)
+        cost = coeff * jnp.max(band, axis=0, keepdims=True)
+        hit = jnp.max(jnp.where(active & (margin <= 0.0), 1.0, 0.0),
+                      axis=0, keepdims=True)
+        return cost, hit
+
+    return terms
 
 
 def _append_obstacles(sc, obstacles, obstacle_coeff: float,
@@ -230,7 +258,6 @@ def _rollout_kernel(kind: str, spec: tuple, T: int, negate_yaw_der: bool,
     - ``useq_out``   (C, T, K): pre-clamp perturbed controls, same idea
     """
     n_w = _n_weight_refs(kind, spec)
-    n_layers = len(spec) - 1
     weights = refs[:n_w]
     states_out = refs[n_w]
     useq_out = refs[n_w + 1]
@@ -285,18 +312,7 @@ def _rollout_kernel(kind: str, spec: tuple, T: int, negate_yaw_der: bool,
         if kind == "bf":
             acts = _bf_deriv(weights[0], mm_prec, s[3:7, :], u0, u1)
         else:
-            # MLP forward: acts (6, K) -> ... -> (4, K), each layer one MXU
-            # matmul (neural_net_model.cu:358-410, batched over lanes).
-            acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
-            for i in range(n_layers):
-                W = weights[2 * i][:, :]         # (out, in)
-                b = weights[2 * i + 1][:, :]     # (out, 1)
-                acts = jax.lax.dot_general(
-                    W, acts, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=mm_prec) + b
-                if i < n_layers - 1:
-                    acts = jnp.tanh(acts)
+            acts = _mlp_deriv_concat(weights, mm_prec, s[3:7, :], u0, u1)
 
         deriv = jnp.concatenate(
             [dx, dy, dyaw, acts, jnp.zeros((SPAD - 7, K), jnp.float32)],
@@ -531,6 +547,8 @@ def _fused_kernel(kind: str, spec: tuple, n_field_layers: int,
                 acts = jnp.maximum(acts, 0.0)
         return acts                                           # (1, L)
 
+    obstacle_terms = _make_obstacle_terms(sc, n_obs) if n_obs else None
+
     def step(t, carry):
         x, y, yaw, d4, running, crash = carry
         frozen = zero_rollout | (t.astype(jnp.float32) < opt_delay)
@@ -574,7 +592,7 @@ def _fused_kernel(kind: str, spec: tuple, n_field_layers: int,
             ((front >= boundary_threshold) | (back >= boundary_threshold))
             & (t > 0), 1.0, 0.0))
         if n_obs:
-            ob_cost, ob_hit = _obstacle_terms(sc, n_obs, x, y)
+            ob_cost, ob_hit = obstacle_terms(x, y)
             track = track + ob_cost
             crash = jnp.maximum(crash, jnp.where(
                 (ob_hit > 0.0) & (t > 0), 1.0, 0.0))
@@ -920,7 +938,6 @@ def _fused_exact_kernel(kind: str, spec: tuple, n_obs: int, T: int,
     """
     map3_ref = refs[0]
     wd = refs[1:1 + _n_weight_refs(kind, spec)]
-    n_layers = len(spec) - 1
     costs_out = refs[-4]
     crash_out = refs[-3]
     useq_out = refs[-2]
@@ -949,6 +966,7 @@ def _fused_exact_kernel(kind: str, spec: tuple, n_obs: int, T: int,
 
     exact_lookup = _make_exact_lookup(map3_ref, vals_ref, sc, H, W, Hp,
                                       RW, Wblk, CB, K)
+    obstacle_terms = _make_obstacle_terms(sc, n_obs) if n_obs else None
 
     def step(t, carry):
         s, running, crash = carry
@@ -992,7 +1010,7 @@ def _fused_exact_kernel(kind: str, spec: tuple, n_obs: int, T: int,
             ((front >= boundary_threshold) | (back >= boundary_threshold))
             & (t > 0), 1.0, 0.0))
         if n_obs:
-            ob_cost, ob_hit = _obstacle_terms(sc, n_obs, x, y)
+            ob_cost, ob_hit = obstacle_terms(x, y)
             track = track + ob_cost
             crash = jnp.maximum(crash, jnp.where(
                 (ob_hit > 0.0) & (t > 0), 1.0, 0.0))
@@ -1023,16 +1041,7 @@ def _fused_exact_kernel(kind: str, spec: tuple, n_obs: int, T: int,
         if kind == "bf":
             acts = _bf_deriv(wd[0], mm_prec, s[3:7, :], u0, u1)
         else:
-            acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
-            for i in range(n_layers):
-                Wt = wd[2 * i][:, :]
-                b = wd[2 * i + 1][:, :]
-                acts = jax.lax.dot_general(
-                    Wt, acts, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=mm_prec) + b
-                if i < n_layers - 1:
-                    acts = jnp.tanh(acts)
+            acts = _mlp_deriv_concat(wd, mm_prec, s[3:7, :], u0, u1)
         deriv = jnp.concatenate(
             [dx, dy_, dyaw, acts, jnp.zeros((SPAD - 7, K), jnp.float32)],
             axis=0)
@@ -1193,7 +1202,6 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
     refs: field mode [wd..., wf..., freqs, costs_out, crash_out];
     exact mode [map3, wd..., costs_out, crash_out, vals_scratch]."""
     n_w = _n_weight_refs(kind, spec)
-    n_layers = len(spec) - 1
     if cost_mode == "exact":
         map3_ref = refs[0]
         wd = refs[1:1 + n_w]
@@ -1260,6 +1268,7 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
                                     RW, Wblk, CB, K)
     else:
         lookup = field_eval
+    obstacle_terms = _make_obstacle_terms(sc, n_obs) if n_obs else None
 
     def step(t, carry):
         s, running, crash = carry
@@ -1299,7 +1308,7 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
             ((front >= boundary_threshold) | (back >= boundary_threshold))
             & (t > 0), 1.0, 0.0))
         if n_obs:
-            ob_cost, ob_hit = _obstacle_terms(sc, n_obs, x, y)
+            ob_cost, ob_hit = obstacle_terms(x, y)
             track = track + ob_cost
             crash = jnp.maximum(crash, jnp.where(
                 (ob_hit > 0.0) & (t > 0), 1.0, 0.0))
@@ -1330,16 +1339,7 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
         if kind == "bf":
             acts = _bf_deriv(wd[0], mm_prec, s[3:7, :], u0, u1)
         else:
-            acts = jnp.concatenate([s[3:7, :], u0, u1], axis=0)
-            for i in range(n_layers):
-                W_ = wd[2 * i][:, :]
-                b = wd[2 * i + 1][:, :]
-                acts = jax.lax.dot_general(
-                    W_, acts, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=mm_prec) + b
-                if i < n_layers - 1:
-                    acts = jnp.tanh(acts)
+            acts = _mlp_deriv_concat(wd, mm_prec, s[3:7, :], u0, u1)
         deriv = jnp.concatenate(
             [dx, dy_, dyaw, acts, jnp.zeros((SPAD - 7, K), jnp.float32)],
             axis=0)

@@ -128,7 +128,7 @@ class ShardedMPPISolver(MPPISolver):
                 l1_cost=self.cost.l1_cost, k_offset=idx * K_local,
                 K_local=K_local, interpret=self._pallas_interpret,
                 precision=cfg.matmul_precision,
-                **self._obstacle_kwargs())
+                **self._obstacle_kwargs(cost_params))
 
             baseline = lax.pmin(jnp.min(total), axis)
             w = jnp.exp(-cfg.gamma * (total - baseline))

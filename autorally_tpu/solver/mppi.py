@@ -74,6 +74,25 @@ class ControllerState(NamedTuple):
     key: jax.Array                 # PRNG key
 
 
+def _kernel_form_consistent(model) -> bool:
+    """True when the class that declared ``KERNEL_KIND`` also owns every
+    method the in-kernel evaluator replaces.  A subclass that overrides
+    ``dynamics``/``state_deriv``/etc. below the declaring class would have
+    the fused kernels silently evaluate the BASE model's math — refuse the
+    Pallas auto-path for it (the subclass can re-declare KERNEL_KIND +
+    kernel_weights to opt back in, or force via cfg.use_pallas_rollout)."""
+    mro = type(model).__mro__
+    kind_idx = next(i for i, c in enumerate(mro) if "KERNEL_KIND" in vars(c))
+    for meth in ("dynamics", "state_deriv", "kinematics",
+                 "enforce_constraints", "step", "kernel_weights",
+                 "kernel_spec"):
+        idx = next((i for i, c in enumerate(mro) if meth in vars(c)),
+                   kind_idx)
+        if idx < kind_idx:
+            return False
+    return True
+
+
 class MPPISolver:
     """Builds the jitted solve/slide programs for a (model, cost, config)."""
 
@@ -100,6 +119,7 @@ class MPPISolver:
         if self.cfg.use_pallas_rollout is not None:
             return self.cfg.use_pallas_rollout
         return (self.model.KERNEL_KIND is not None
+                and _kernel_form_consistent(self.model)
                 and pallas_supported(self._local_rollouts()))
 
     def _local_rollouts(self) -> int:
@@ -114,11 +134,16 @@ class MPPISolver:
 
         return type(self.cost) in (MPPICost, ObstacleCost)
 
-    def _obstacle_kwargs(self) -> dict:
+    def _obstacle_kwargs(self, cost_params: CostParams) -> dict:
         from autorally_tpu.costs.obstacles import ObstacleCost
 
         if type(self.cost) is ObstacleCost:
-            return {"obstacles": self.cost.obstacles,
+            # prefer the traced CostParams.obstacles (live updates at pose
+            # rate, zero recompiles) over the construction-time array
+            obs = (cost_params.obstacles
+                   if cost_params.obstacles is not None
+                   else self.cost.obstacles)
+            return {"obstacles": obs,
                     "obstacle_coeff": self.cost.obstacle_coeff,
                     "inflation": self.cost.inflation}
         return {}
@@ -198,7 +223,7 @@ class MPPISolver:
                     U, eps, l1_cost=cost.l1_cost, k_offset=k_offset,
                     interpret=self._pallas_interpret,
                     precision=cfg.matmul_precision,
-                    **self._obstacle_kwargs())
+                    **self._obstacle_kwargs(cost_params))
 
         if (self.use_pallas_rollout and isinstance(costmap, NeuralCostmap)
                 and self._fusable_cost()):
@@ -218,7 +243,7 @@ class MPPISolver:
                 eps, l1_cost=cost.l1_cost, k_offset=k_offset,
                 interpret=self._pallas_interpret,
                 precision=cfg.matmul_precision,
-                **self._obstacle_kwargs())
+                **self._obstacle_kwargs(cost_params))
 
         if self.use_pallas_rollout:
             from autorally_tpu.ops.rollout_kernel import dynamics_chain_pallas
@@ -374,7 +399,7 @@ class MPPISolver:
                     l1_cost=self.cost.l1_cost,
                     interpret=self._pallas_interpret,
                     precision=cfg.matmul_precision,
-                    **self._obstacle_kwargs())
+                    **self._obstacle_kwargs(cost_params))
                 baseline = jnp.min(total)
                 w = jnp.exp(-cfg.gamma * (total - baseline))
                 eta = jnp.sum(w)

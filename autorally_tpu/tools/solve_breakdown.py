@@ -76,30 +76,59 @@ def main(argv=None) -> int:
 
     rows = {}
 
-    # stage: noise sampling
-    noise = jax.jit(lambda k: solver._sample_noise(k, (T, K, C)))
-    rows["noise_sample"] = _timeit(noise, key, n=args.n, batches=args.batches)
-    eps = noise(key)
+    if solver._use_kernel_rng(cm):
+        # the production _solve runs the two-pass kernel-RNG pipeline —
+        # time ITS stages, not the eps-fed path it never executes
+        from autorally_tpu.ops.rollout_kernel import (fused_rng_costs,
+                                                      fused_rng_numer)
 
-    # stage: rollout + cost (the kernel / scan chain + epilogue)
-    rc = jax.jit(lambda s, U, e: solver.rollout_costs(params, cp, cm, s,
-                                                      U, e))
-    rows["rollout_costs"] = _timeit(rc, state, cs.U, eps,
-                                    n=args.n, batches=args.batches)
-    total, u_seq, crash = rc(state, cs.U, eps)
+        p1 = jax.jit(lambda s, U, k: fused_rng_costs(
+            solver.model, params, cfg, cp, cm, s, U, k,
+            l1_cost=solver.cost.l1_cost,
+            precision=cfg.matmul_precision)[:2])
+        rows["rng_pass1_costs"] = _timeit(p1, state, cs.U, key,
+                                          n=args.n, batches=args.batches)
+        total, crash, ctx = fused_rng_costs(
+            solver.model, params, cfg, cp, cm, state, cs.U, key,
+            l1_cost=solver.cost.l1_cost, precision=cfg.matmul_precision)
 
-    # stage: softmax weights + weighted control update
-    spec = "k,ctk->tc" if solver.use_pallas_rollout else "k,tkc->tc"
+        @jax.jit
+        def softmax_w(total):
+            return jnp.exp(-cfg.gamma * (total - jnp.min(total)))
 
-    @jax.jit
-    def update(total, u_seq):
-        baseline = jnp.min(total)
-        w = jnp.exp(-cfg.gamma * (total - baseline))
-        return jnp.einsum(spec, w, u_seq) / jnp.sum(w)
+        rows["rng_softmax"] = _timeit(softmax_w, total,
+                                      n=args.n, batches=args.batches)
+        w = softmax_w(total)
+        p2 = jax.jit(lambda w: (fused_rng_numer(ctx, w) / jnp.sum(w)).T)
+        rows["rng_pass2_update"] = _timeit(p2, w,
+                                           n=args.n, batches=args.batches)
+        U_new = p2(w)
+    else:
+        # stage: noise sampling
+        noise = jax.jit(lambda k: solver._sample_noise(k, (T, K, C)))
+        rows["noise_sample"] = _timeit(noise, key,
+                                       n=args.n, batches=args.batches)
+        eps = noise(key)
 
-    rows["weight_update"] = _timeit(update, total, u_seq,
-                                    n=args.n, batches=args.batches)
-    U_new = update(total, u_seq)
+        # stage: rollout + cost (the kernel / scan chain + epilogue)
+        rc = jax.jit(lambda s, U, e: solver.rollout_costs(params, cp, cm, s,
+                                                          U, e))
+        rows["rollout_costs"] = _timeit(rc, state, cs.U, eps,
+                                        n=args.n, batches=args.batches)
+        total, u_seq, crash = rc(state, cs.U, eps)
+
+        # stage: softmax weights + weighted control update
+        spec = "k,ctk->tc" if solver.use_pallas_rollout else "k,tkc->tc"
+
+        @jax.jit
+        def update(total, u_seq):
+            baseline = jnp.min(total)
+            w = jnp.exp(-cfg.gamma * (total - baseline))
+            return jnp.einsum(spec, w, u_seq) / jnp.sum(w)
+
+        rows["weight_update"] = _timeit(update, total, u_seq,
+                                        n=args.n, batches=args.batches)
+        U_new = update(total, u_seq)
 
     # stage: Savitzky-Golay smoothing
     sg = jax.jit(savitzky_golay)

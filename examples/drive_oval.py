@@ -79,8 +79,13 @@ def main():
     if args.obstacles:
         from autorally_tpu.costs.obstacles import ObstacleCost, make_obstacles
 
-        circles = [[float(v) for v in c.split(",")]
-                   for c in args.obstacles.split(";")]
+        try:
+            circles = [[float(v) for v in c.split(",")]
+                       for c in args.obstacles.split(";") if c.strip()]
+            if not circles or any(len(c) != 3 for c in circles):
+                raise ValueError("each circle needs exactly x,y,r")
+        except ValueError as e:
+            ap.error(f"--obstacles expects 'x,y,r;x,y,r': {e}")
         # band tuned for the 6 m demo lane: hard wall at the circle, but
         # the ramp stays narrow enough that passing beats stopping
         cost = ObstacleCost(make_obstacles(circles), obstacle_coeff=150.0,

@@ -18,6 +18,8 @@ import numpy as np
 
 MODEL_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
              "models/autorally_nnet_09_12_2018.npz")
+BF_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
+          "models/basis_function_09_12_2018.npz")
 
 
 def main():
@@ -63,11 +65,11 @@ def main():
     cm = make_costmap(data, xb, yb)
     if args.bf:
         from autorally_tpu.models import BasisFunctionDynamics
-        bf_npz = MODEL_NPZ.replace("autorally_nnet_09_12_2018",
-                                   "basis_function_09_12_2018")
-        model = BasisFunctionDynamics(cfg.dt)
-        params = model.load_params(bf_npz)
-        true_model = BasisFunctionDynamics(cfg.dt / args.pose_substeps)
+        model = BasisFunctionDynamics(cfg.dt,
+                                      control_ranges=cfg.control_ranges)
+        params = model.load_params(BF_NPZ)
+        true_model = BasisFunctionDynamics(
+            cfg.dt / args.pose_substeps, control_ranges=cfg.control_ranges)
     else:
         model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
         params = model.load_params(MODEL_NPZ)

@@ -80,7 +80,8 @@ def main():
     cm = make_costmap(data, xb, yb)
     if args.bf:
         from autorally_tpu.models import BasisFunctionDynamics
-        model = BasisFunctionDynamics(cfg.dt)
+        model = BasisFunctionDynamics(cfg.dt,
+                                      control_ranges=cfg.control_ranges)
         params_m = model.load_params(args.model or BF_NPZ)
     else:
         model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)

@@ -162,3 +162,84 @@ def test_obstacle_solver_dispatch_fused_matches_scan():
     np.testing.assert_allclose(np.asarray(csp.U), np.asarray(css.U),
                                rtol=2e-4, atol=2e-4)
     assert float(stp.crash_frac) == pytest.approx(float(sts.crash_frac))
+
+
+def test_live_obstacle_update_via_cost_params():
+    """CostParams.obstacles overrides the baked array on every path —
+    the zero-recompile moving-obstacle update.  The same solver instance
+    (same jitted program) must react to a moved circle."""
+    cfg, cm, model, params, cost, solver, state, U, eps = _fused_setup()
+    p_baked = CostParams()
+    # move both circles far away through the traced argument
+    moved = make_obstacles([[100.0, 100.0, 0.4]], capacity=8)
+    p_moved = p_baked.replace(obstacles=moved)
+
+    t_baked, _, c_baked = solver.rollout_costs(params, p_baked, cm,
+                                               state, U, eps)
+    t_moved, _, c_moved = solver.rollout_costs(params, p_moved, cm,
+                                               state, U, eps)
+    assert int(np.asarray(c_baked).sum()) > 0
+    assert int(np.asarray(c_moved).sum()) < int(np.asarray(c_baked).sum())
+    assert float(np.asarray(t_baked).mean()) > float(
+        np.asarray(t_moved).mean())
+
+    # fused kernel path honors it identically (interpret mode)
+    from autorally_tpu.ops import rollout_kernel as rk
+
+    tot_f, _, crash_f = rk.fused_exact_rollout_cost_pallas(
+        model, params, cfg, p_moved, cm, state, U, eps,
+        l1_cost=cost.l1_cost, interpret=True,
+        obstacles=moved, obstacle_coeff=cost.obstacle_coeff,
+        inflation=cost.inflation)
+    np.testing.assert_array_equal(np.asarray(crash_f), np.asarray(c_moved))
+    np.testing.assert_allclose(np.asarray(tot_f), np.asarray(t_moved),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_full_solve_live_obstacle_no_retrace():
+    """The jitted solve must accept a new obstacle array (same capacity)
+    without retracing: trace count stays at 1 across the update."""
+    import jax
+
+    cfg, cm, model, params, cost, _, state, U, eps = _fused_setup()
+    solver = MPPISolver(model, cost, cfg)
+    traces = {"n": 0}
+    orig = solver._solve
+
+    def counting_solve(*a, **k):
+        traces["n"] += 1
+        return orig(*a, **k)
+
+    solver._solve_jit = jax.jit(counting_solve)
+    cs = solver.init_state()
+    p0 = CostParams(obstacles=cost.obstacles)
+    cs, s0 = solver.solve(params, p0, cm, state, cs)
+    p1 = CostParams(obstacles=make_obstacles([[100.0, 100.0, 0.4]],
+                                             capacity=8))
+    cs, s1 = solver.solve(params, p1, cm, state, cs)
+    assert traces["n"] == 1, "obstacle move retraced the solve"
+    assert float(s1.crash_frac) <= float(s0.crash_frac)
+
+
+def test_pallas_refused_for_model_subclass_overrides():
+    """A subclass overriding dynamics() must NOT auto-take the Pallas
+    path (the kernels would evaluate the base model's math)."""
+    from autorally_tpu.solver.mppi import _kernel_form_consistent
+
+    class Custom(NeuralNetDynamics):
+        def dynamics(self, params, states, controls):
+            return super().dynamics(params, states, controls) * 2.0
+
+    assert not _kernel_form_consistent(Custom(0.02))
+    assert _kernel_form_consistent(NeuralNetDynamics(0.02))
+
+    class Redeclared(NeuralNetDynamics):
+        KERNEL_KIND = "mlp"   # explicit opt-in after overriding
+
+        def dynamics(self, params, states, controls):
+            return super().dynamics(params, states, controls)
+
+        def kernel_weights(self, params):
+            return super().kernel_weights(params)
+
+    assert _kernel_form_consistent(Redeclared(0.02))
