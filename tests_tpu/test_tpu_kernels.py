@@ -306,3 +306,44 @@ def test_kernel_rng_exact_bf_model():
     assert np.isfinite(np.asarray(a.U)).all()
     assert np.abs(np.asarray(a.U) - np.asarray(b.U)).max() < 0.15
     assert 0.2 < float(sa.ess) / float(sb.ess) < 5.0
+
+
+def test_obstacles_fused_on_tpu():
+    """ObstacleCost through the real exact-costmap kernel: crash sets and
+    decision-level controls must match the scan path, and a live
+    CostParams.obstacles move must take effect without retracing."""
+    from autorally_tpu.costs.obstacles import ObstacleCost, make_obstacles
+
+    cfg = MPPIConfig(num_rollouts=1920, num_timesteps=100,
+                     use_pallas_rollout=True, exact_fused=True)
+    data, xb, yb = oval_track(ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    # circles inside the first 2 s of travel from START (30, 0) heading +y
+    cost = ObstacleCost(make_obstacles([[30.0, 2.0, 0.4], [29.5, 1.0, 0.3]],
+                                       capacity=8),
+                        obstacle_coeff=250.0, inflation=1.5)
+    sp = MPPISolver(model, cost, cfg)
+    ss = MPPISolver(model, cost, cfg.replace(use_pallas_rollout=False))
+    cp = CostParams()
+    eps = jax.random.normal(jax.random.PRNGKey(12), (100, 1920, 2),
+                            dtype=jnp.float32)
+    U = sp.init_state().U
+    tot_p, _, crash_p = jax.jit(
+        lambda e: sp.rollout_costs(params, cp, cm, START, U, e))(eps)
+    tot_s, _, crash_s = jax.jit(
+        lambda e: ss.rollout_costs(params, cp, cm, START, U, e))(eps)
+    assert int(np.asarray(crash_s).sum()) > 0
+    assert (np.asarray(crash_p) == np.asarray(crash_s)).mean() > 0.999
+    ok = np.isclose(np.asarray(tot_p), np.asarray(tot_s),
+                    rtol=2e-4, atol=1e-3)
+    assert ok.mean() > 0.999
+
+    # live move through the traced CostParams: same jitted solve object
+    cs = sp.init_state()
+    _, s_near = sp.solve(params, cp, cm, START, cs)
+    moved = cp.replace(obstacles=make_obstacles([[100.0, 100.0, 0.4]],
+                                                capacity=8))
+    _, s_far = sp.solve(params, moved, cm, START, cs)
+    assert float(s_far.crash_frac) <= float(s_near.crash_frac)
