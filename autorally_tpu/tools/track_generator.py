@@ -67,8 +67,66 @@ def straight_track(length: float = 200.0, track_width: float = 8.0,
     return data, (x_min, x_max), (y_min, y_max)
 
 
+#: A winding closed circuit in the spirit of the reference's CCRF kart
+#: track (the real costmap blobs are stripped upstream): alternating
+#: left/right curves, a hairpin, and two straights, ~175 m lap length.
+WINDING_WAYPOINTS = (
+    (0.0, 0.0), (12.0, -2.0), (24.0, 0.0), (32.0, 6.0), (34.0, 14.0),
+    (28.0, 20.0), (20.0, 18.0), (14.0, 22.0), (14.0, 30.0), (22.0, 34.0),
+    (30.0, 32.0), (38.0, 34.0), (42.0, 40.0), (38.0, 46.0), (28.0, 46.0),
+    (16.0, 44.0), (6.0, 46.0), (-2.0, 42.0), (-6.0, 34.0), (-4.0, 26.0),
+    (-8.0, 18.0), (-10.0, 10.0), (-6.0, 2.0),
+)
+
+
+def spline_track(waypoints=WINDING_WAYPOINTS, track_width: float = 6.0,
+                 ppm: float = 10.0, margin: float = 10.0,
+                 samples_per_meter: float = 20.0
+                 ) -> Tuple[np.ndarray, tuple, tuple]:
+    """Closed circuit through waypoints via a periodic cubic spline.
+
+    The synthetic stand-in for a real surveyed track (the reference's
+    CCRF/Marietta maps are stripped from its repo): channel0 is the
+    normalized distance to the spline centerline — 0 on the centerline,
+    1 at the edge, >1 off-track — same convention as :func:`oval_track`.
+    """
+    from scipy.interpolate import CubicSpline
+    from scipy.spatial import cKDTree
+
+    wp = np.asarray(waypoints, dtype=np.float64)
+    pts = np.vstack([wp, wp[:1]])                # close the loop
+    seg = np.hypot(*np.diff(pts, axis=0).T)
+    t = np.concatenate([[0.0], np.cumsum(seg)])
+    cs_x = CubicSpline(t, pts[:, 0], bc_type="periodic")
+    cs_y = CubicSpline(t, pts[:, 1], bc_type="periodic")
+    s = np.linspace(0.0, t[-1], int(t[-1] * samples_per_meter),
+                    endpoint=False)
+    center = np.stack([cs_x(s), cs_y(s)], axis=1)
+
+    x_min = center[:, 0].min() - margin
+    x_max = center[:, 0].max() + margin
+    y_min = center[:, 1].min() - margin
+    y_max = center[:, 1].max() + margin
+    W = int((x_max - x_min) * ppm)
+    H = int((y_max - y_min) * ppm)
+    xs = x_min + (np.arange(W) + 0.5) / ppm
+    ys = y_min + (np.arange(H) + 0.5) / ppm
+    X, Y = np.meshgrid(xs, ys)
+    grid = np.stack([X.ravel(), Y.ravel()], axis=1)
+    dist, _ = cKDTree(center).query(grid, k=1)
+    channel0 = (2.0 * dist.reshape(H, W) / track_width).astype(np.float32)
+    data = np.zeros((H, W, 4), dtype=np.float32)
+    data[..., 0] = channel0
+    return data, (x_min, x_max), (y_min, y_max)
+
+
 def make_oval_costmap(**kw) -> Costmap:
     data, xb, yb = oval_track(**kw)
+    return make_costmap(data, xb, yb)
+
+
+def make_spline_costmap(**kw) -> Costmap:
+    data, xb, yb = spline_track(**kw)
     return make_costmap(data, xb, yb)
 
 

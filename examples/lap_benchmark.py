@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--bf", action="store_true",
                     help="basis-function dynamics (path_integral_bf role; "
                          "reference default K=2560)")
+    ap.add_argument("--track", choices=("oval", "winding"), default="oval",
+                    help="'winding' = spline circuit with alternating "
+                         "curves and a hairpin (the CCRF-track role; the "
+                         "reference's real maps are stripped upstream)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -60,8 +64,18 @@ def main():
 
     cfg = MPPIConfig(num_rollouts=args.rollouts,
                      num_timesteps=args.timesteps)
-    data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
-                              track_width=6.0, ppm=10.0)
+    if args.track == "winding":
+        from autorally_tpu.tools.track_generator import spline_track
+
+        data, xb, yb = spline_track(track_width=6.0, ppm=10.0)
+        # start at the first waypoint, heading along the first segment
+        start_pose = (0.0, 0.0, math.atan2(-2.0, 12.0))
+        lap_line = (0.0, 0.0, -3.0, 3.0)    # y = 0 crossing near the start
+    else:
+        data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
+                                  track_width=6.0, ppm=10.0)
+        start_pose = (30.0, 0.0, math.pi / 2)
+        lap_line = (0.0, 0.0, 25.0, 35.0)
     cm = make_costmap(data, xb, yb)
     if args.bf:
         from autorally_tpu.models import BasisFunctionDynamics
@@ -92,7 +106,8 @@ def main():
     print(f"feedback_gains={args.feedback} pose_substeps="
           f"{args.pose_substeps} mismatch={args.mismatch}")
 
-    start = np.array([30.0, 0.0, math.pi / 2, 0, 0, 0, 0], dtype=np.float32)
+    start = np.array([start_pose[0], start_pose[1], start_pose[2],
+                      0, 0, 0, 0], dtype=np.float32)
     cost_params = CostParams(desired_speed=args.desired_speed)
 
     t0 = time.time()
@@ -106,7 +121,7 @@ def main():
 
     states = np.asarray(res.states)
     # start line: crossing the +x axis on the right side of the oval
-    laps = LapStats(line=(0.0, 0.0, 25.0, 35.0))
+    laps = LapStats(line=lap_line)
     for i, s in enumerate(states):
         rec = laps.process_pose(i * cfg.dt, s[0], s[1], s[4], s[5])
         if rec:

@@ -110,3 +110,23 @@ def test_nan_cost_clamped():
     c, _ = cost.compute_cost(p, cm, s, u, du, nu,
                              jnp.zeros((1,), dtype=jnp.int32))
     assert float(c[0]) == np.float32(1e12)
+
+
+def test_spline_track_geometry():
+    """Winding spline circuit (the CCRF-track role): channel0 ~0 on the
+    centerline at every waypoint, >1 far off-track, same npz convention."""
+    import jax.numpy as jnp
+
+    from autorally_tpu.costs.costmap import make_costmap
+    from autorally_tpu.tools.track_generator import (WINDING_WAYPOINTS,
+                                                     spline_track)
+
+    data, xb, yb = spline_track(ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    for wx, wy in WINDING_WAYPOINTS:
+        v = float(cm.lookup_ch0(jnp.asarray([float(wx)]),
+                                jnp.asarray([float(wy)]))[0])
+        assert v < 0.15, (wx, wy, v)
+    far = float(cm.lookup_ch0(jnp.asarray([xb[0] + 1.0]),
+                              jnp.asarray([yb[0] + 1.0]))[0])
+    assert far > 1.0

@@ -134,3 +134,29 @@ def test_episode_pose_rate_interpolation():
     states = np.asarray(res.states)
     assert np.isfinite(states).all()
     assert states[-1, 4] > 1.5          # still drives
+
+
+def test_episode_drives_winding_track():
+    """The winding spline circuit (CCRF-track role): the controller must
+    carry speed through alternating curves without crashing."""
+    from autorally_tpu.tools.track_generator import spline_track
+
+    cfg = MPPIConfig(num_rollouts=256, num_timesteps=40)
+    data, xb, yb = spline_track(track_width=6.0, ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    runner = EpisodeRunner(solver, n_ticks=500)
+    start = np.array([0.0, 0.0, math.atan2(-2.0, 12.0), 0, 0, 0, 0],
+                     dtype=np.float32)
+    res = runner.run(params, CostParams(desired_speed=4.5), cm, start)
+    states = np.asarray(res.states)
+    assert np.isfinite(states).all()
+    # reaches cruising speed and keeps it through the curves
+    assert states[250:, 4].mean() > 3.0
+    # covers real distance around the circuit
+    path_len = np.hypot(np.diff(states[:, 0]), np.diff(states[:, 1])).sum()
+    assert path_len > 25.0
+    # stays on the 6 m track: crash fraction stays low
+    assert float(np.asarray(res.crash_frac).mean()) < 0.1
