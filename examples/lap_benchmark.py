@@ -45,6 +45,9 @@ def main():
                     help="'winding' = spline circuit with alternating "
                          "curves and a hairpin (the CCRF-track role; the "
                          "reference's real maps are stripped upstream)")
+    ap.add_argument("--plot", default=None,
+                    help="save a costmap + colored-by-speed trajectory "
+                         "PNG here")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -140,6 +143,29 @@ def main():
           f" / predicted {args.ticks - int(np.asarray(res.used_actual).sum())}")
     print(f"mean ESS {float(np.asarray(res.ess).mean()):.0f}  "
           f"mean crash% {100*float(np.asarray(res.crash_frac).mean()):.1f}")
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 7))
+        ax.imshow(np.asarray(data[..., 0]), origin="lower",
+                  extent=[xb[0], xb[1], yb[0], yb[1]], cmap="Greys",
+                  vmin=0.0, vmax=2.0, interpolation="nearest")
+        pts = ax.scatter(states[:, 0], states[:, 1], c=states[:, 4], s=2.5,
+                         cmap="viridis")
+        fig.colorbar(pts, ax=ax, label="speed (m/s)")
+        ax.plot(states[0, 0], states[0, 1], "r^", markersize=9,
+                label="start")
+        ax.set_xlabel("x (m)")
+        ax.set_ylabel("y (m)")
+        ax.set_title(f"{args.track} track, {args.ticks} ticks, "
+                     f"mean {states[200:, 4].mean():.1f} m/s")
+        ax.legend(loc="upper right")
+        fig.tight_layout()
+        fig.savefig(args.plot, dpi=130)
+        print(f"trajectory plot: {args.plot}")
 
 
 if __name__ == "__main__":
