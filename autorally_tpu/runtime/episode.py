@@ -96,21 +96,26 @@ class EpisodeRunner:
 
     def _episode(self, params_ctrl, params_true, cost_params: CostParams,
                  costmap, state0, cs_a: ControllerState,
-                 cs_p: ControllerState) -> EpisodeResult:
+                 cs_p: ControllerState,
+                 obstacle_traj=None) -> EpisodeResult:
         solver = self.solver
         cfg = solver.cfg
         stride = cfg.optimization_stride
         M = self.pose_substeps
 
-        def tick(carry, _):
+        def tick(carry, i):
             cs_a, cs_p, state = carry
+            # moving obstacles: this tick's circle positions ride the
+            # traced CostParams (costs/obstacles.py live-update path)
+            cp = (cost_params if obstacle_traj is None
+                  else cost_params.replace(obstacles=obstacle_traj[i]))
             # receding-horizon slide (run_control_loop.cuh:206-215)
             cs_a = solver._slide(cs_a, jnp.int32(stride))
             cs_p = solver._slide(cs_p, jnp.int32(stride))
             # actual-state and predicted-state solves (:218-219)
-            cs_a, st_a = solver._solve(params_ctrl, cost_params, costmap,
+            cs_a, st_a = solver._solve(params_ctrl, cp, costmap,
                                        state, cs_a)
-            cs_p, st_p = solver._solve(params_ctrl, cost_params, costmap,
+            cs_p, st_p = solver._solve(params_ctrl, cp, costmap,
                                        cs_p.state_solution[0], cs_p)
             # arbitration by computed trajectory cost (:246-286)
             use_actual = st_a.trajectory_cost < st_p.trajectory_cost
@@ -153,22 +158,35 @@ class EpisodeRunner:
             return (cs_a, cs_p, state), out
 
         (_, _, _), outs = lax.scan(
-            tick, (cs_a, cs_p, state0.astype(jnp.float32)), None,
-            length=self.n_ticks)
+            tick, (cs_a, cs_p, state0.astype(jnp.float32)),
+            jnp.arange(self.n_ticks))
         return EpisodeResult(*outs)
 
     def run(self, params_ctrl, cost_params, costmap, state0,
-            params_true=None, seed_a: int = 0, seed_p: int = 1
-            ) -> EpisodeResult:
-        """Run the episode; returns per-tick telemetry arrays."""
+            params_true=None, seed_a: int = 0, seed_p: int = 1,
+            obstacle_traj=None) -> EpisodeResult:
+        """Run the episode; returns per-tick telemetry arrays.
+
+        ``obstacle_traj``: optional (n_ticks, capacity, 3) array of
+        per-tick obstacle circles (requires the solver's cost to be an
+        :class:`~autorally_tpu.costs.obstacles.ObstacleCost`) — MOVING
+        obstacles evaluated fully on device inside the episode scan.
+        """
         cs_a = self.solver.init_state(seed_a)
         cs_p = self.solver.init_state(seed_p)
         cs_a = cs_a._replace(state_solution=cs_a.state_solution.at[0].set(
             jnp.asarray(state0, dtype=jnp.float32)))
         cs_p = cs_p._replace(state_solution=cs_p.state_solution.at[0].set(
             jnp.asarray(state0, dtype=jnp.float32)))
+        if obstacle_traj is not None:
+            obstacle_traj = jnp.asarray(obstacle_traj, dtype=jnp.float32)
+            if obstacle_traj.shape[0] != self.n_ticks:
+                raise ValueError(
+                    f"obstacle_traj has {obstacle_traj.shape[0]} ticks, "
+                    f"episode has {self.n_ticks}")
         return self._run(params_ctrl,
                          params_true if params_true is not None
                          else params_ctrl,
                          cost_params, costmap,
-                         jnp.asarray(state0, dtype=jnp.float32), cs_a, cs_p)
+                         jnp.asarray(state0, dtype=jnp.float32), cs_a, cs_p,
+                         obstacle_traj)

@@ -160,3 +160,49 @@ def test_episode_drives_winding_track():
     assert path_len > 25.0
     # stays on the 6 m track: crash fraction stays low
     assert float(np.asarray(res.crash_frac).mean()) < 0.1
+
+
+def test_episode_moving_obstacle():
+    """A circle crossing the car's path, positions fed per tick through
+    obstacle_traj (device-side moving-obstacle avoidance): the episode
+    with the obstacle cost must keep more clearance from the MOVING
+    circle than the plain-cost episode."""
+    from autorally_tpu.costs.obstacles import ObstacleCost, make_obstacles
+
+    n_ticks, cap = 250, 4
+    cfg = MPPIConfig(num_rollouts=256, num_timesteps=40)
+    data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
+                              track_width=8.0, ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    start = np.array([30.0, 0.0, math.pi / 2, 0, 4.0, 0, 0],
+                     dtype=np.float32)
+
+    # a circle drifting across the lane around y~6, where the car arrives
+    # after ~1.5 s at ~4.5 m/s
+    traj = np.full((n_ticks, cap, 3), -1.0, dtype=np.float32)
+    t = np.arange(n_ticks) * cfg.dt
+    traj[:, 0, 0] = 31.5 - 1.2 * t          # x drifts left through the lane
+    traj[:, 0, 1] = 6.0
+    traj[:, 0, 2] = 0.5
+
+    def min_clearance(cost):
+        solver = MPPISolver(model, cost, cfg)
+        runner = EpisodeRunner(solver, n_ticks=n_ticks)
+        res = runner.run(params, CostParams(desired_speed=4.5), cm, start,
+                         obstacle_traj=(traj if isinstance(cost,
+                                                           ObstacleCost)
+                                        else None))
+        states = np.asarray(res.states)
+        d = np.hypot(states[:, 0] - traj[:, 0, 0],
+                     states[:, 1] - traj[:, 0, 1])
+        return float(d.min()), states
+
+    clear_obs, st_obs = min_clearance(
+        ObstacleCost(make_obstacles([], capacity=cap),
+                     obstacle_coeff=300.0, inflation=1.5))
+    clear_plain, _ = min_clearance(MPPICost())
+    assert np.isfinite(st_obs).all()
+    assert clear_plain < 1.0, f"plain plan should pass near it: {clear_plain}"
+    assert clear_obs > clear_plain + 0.3, (clear_obs, clear_plain)
