@@ -195,6 +195,16 @@ def main() -> None:
     pc.add_argument("-i", "--input", required=True)
     pc.add_argument("-o", "--output", default="map.npz")
 
+    ps = sub.add_parser("spline", help="closed spline circuit through "
+                                       "waypoints (default: the winding "
+                                       "CCRF-role circuit)")
+    ps.add_argument("-o", "--output", default="spline_costmap.npz")
+    ps.add_argument("--waypoints", default=None,
+                    help="semicolon-separated 'x,y' pairs; default = the "
+                         "built-in winding circuit")
+    ps.add_argument("--track-width", type=float, default=6.0)
+    ps.add_argument("--ppm", type=float, default=10.0)
+
     args = p.parse_args()
     if args.cmd == "convert":
         convert_legacy_txt(args.input, args.output)
@@ -204,6 +214,16 @@ def main() -> None:
         data, xb, yb = oval_track(half_length=args.half_length,
                                   half_width=args.half_width,
                                   track_width=args.track_width, ppm=args.ppm)
+        save_costmap(data, xb, yb, args.ppm, args.output)
+        print(f"wrote {args.output}: {data.shape[1]}x{data.shape[0]} px")
+    elif args.cmd == "spline":
+        wps = WINDING_WAYPOINTS
+        if args.waypoints:
+            wps = [tuple(float(v) for v in c.split(","))
+                   for c in args.waypoints.split(";") if c.strip()]
+        data, xb, yb = spline_track(waypoints=wps,
+                                    track_width=args.track_width,
+                                    ppm=args.ppm)
         save_costmap(data, xb, yb, args.ppm, args.output)
         print(f"wrote {args.output}: {data.shape[1]}x{data.shape[0]} px")
     else:
