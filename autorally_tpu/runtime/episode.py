@@ -179,6 +179,13 @@ class EpisodeRunner:
         cs_p = cs_p._replace(state_solution=cs_p.state_solution.at[0].set(
             jnp.asarray(state0, dtype=jnp.float32)))
         if obstacle_traj is not None:
+            from autorally_tpu.costs.obstacles import ObstacleCost
+
+            if not isinstance(self.solver.cost, ObstacleCost):
+                raise TypeError(
+                    "obstacle_traj requires the solver's cost to be an "
+                    "ObstacleCost — nothing else reads CostParams."
+                    f"obstacles (got {type(self.solver.cost).__name__})")
             obstacle_traj = jnp.asarray(obstacle_traj, dtype=jnp.float32)
             if obstacle_traj.shape[0] != self.n_ticks:
                 raise ValueError(

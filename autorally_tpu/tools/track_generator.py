@@ -219,8 +219,14 @@ def main() -> None:
     elif args.cmd == "spline":
         wps = WINDING_WAYPOINTS
         if args.waypoints:
-            wps = [tuple(float(v) for v in c.split(","))
-                   for c in args.waypoints.split(";") if c.strip()]
+            try:
+                wps = [tuple(float(v) for v in c.split(","))
+                       for c in args.waypoints.split(";") if c.strip()]
+                if len(wps) < 3 or any(len(w) != 2 for w in wps):
+                    raise ValueError("need >= 3 'x,y' pairs")
+            except ValueError as e:
+                p.error(f"--waypoints expects 'x,y;x,y;...' "
+                        f"(>= 3 pairs): {e}")
         data, xb, yb = spline_track(waypoints=wps,
                                     track_width=args.track_width,
                                     ppm=args.ppm)

@@ -123,7 +123,6 @@ def main():
           f"({sim_s/wall:.1f}x realtime)")
 
     states = np.asarray(res.states)
-    # start line: crossing the +x axis on the right side of the oval
     laps = LapStats(line=lap_line)
     for i, s in enumerate(states):
         rec = laps.process_pose(i * cfg.dt, s[0], s[1], s[4], s[5])

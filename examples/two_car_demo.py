@@ -27,7 +27,11 @@ import numpy as np
 MODEL_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
              "models/autorally_nnet_09_12_2018.npz")
 
-CAR_RADIUS = 0.6      # effective circle around the other vehicle (m)
+CAR_RADIUS = 0.6      # physical circle around ONE vehicle (m)
+# Planner circles use the Minkowski sum of both cars' extents: the crash
+# latch fires at margin <= 0, i.e. CENTER distance <= radius, and two
+# cars of radius r physically collide at center distance 2r.
+OBS_RADIUS = 2 * CAR_RADIUS
 
 
 def run_two_cars(ticks=900, rollouts=256, timesteps=40, desired_speed=5.0,
@@ -84,17 +88,19 @@ def run_two_cars(ticks=900, rollouts=256, timesteps=40, desired_speed=5.0,
         brakes for traffic it should ignore)."""
         if not avoid:
             return cp
+        # always return a (4, 3) array (inactive = radius -1): flipping
+        # between None and an array would change the CostParams pytree
+        # structure and retrace the jitted solve mid-episode
+        obs = np.full((4, 3), -1.0, dtype=np.float32)
         bearing = math.atan2(s_other[1] - s_self[1],
                              s_other[0] - s_self[0]) - s_self[2]
-        if math.cos(bearing) < 0.0:            # other car is behind me
-            return cp
-        yaw, ux, uy = s_other[2], s_other[4], s_other[5]
-        vx = math.cos(yaw) * ux - math.sin(yaw) * uy
-        vy = math.sin(yaw) * ux + math.cos(yaw) * uy
-        obs = np.full((4, 3), -1.0, dtype=np.float32)
-        for i, frac in enumerate((0.0, 0.5, 1.0)):
-            obs[i] = [s_other[0] + vx * frac * horizon_s,
-                      s_other[1] + vy * frac * horizon_s, CAR_RADIUS]
+        if math.cos(bearing) >= 0.0:           # ignore a car behind me
+            yaw, ux, uy = s_other[2], s_other[4], s_other[5]
+            vx = math.cos(yaw) * ux - math.sin(yaw) * uy
+            vy = math.sin(yaw) * ux + math.cos(yaw) * uy
+            for i, frac in enumerate((0.0, 0.5, 1.0)):
+                obs[i] = [s_other[0] + vx * frac * horizon_s,
+                          s_other[1] + vy * frac * horizon_s, OBS_RADIUS]
         return cp.replace(obstacles=jnp.asarray(obs))
 
     if parked:

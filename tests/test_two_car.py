@@ -1,12 +1,13 @@
 """Multi-vehicle interaction (the XBee pose-sharing role closed through
 the planner): mutual avoidance via live CostParams.obstacles."""
 
+import os
 import sys
 
 import numpy as np
-import pytest
 
-sys.path.insert(0, "/root/repo/examples")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "examples"))
 
 
 def test_pass_disabled_vehicle():
@@ -14,7 +15,7 @@ def test_pass_disabled_vehicle():
     clearing it and continuing — and would hit it without the term."""
     from two_car_demo import CAR_RADIUS, run_two_cars
 
-    sa, sb = run_two_cars(ticks=350, rollouts=192, timesteps=40,
+    sa, sb = run_two_cars(ticks=500, rollouts=192, timesteps=40,
                           desired_speed=4.5, parked=True)
     d = np.hypot(sa[:, 0] - sb[:, 0], sa[:, 1] - sb[:, 1])
     assert np.isfinite(sa).all()
@@ -22,7 +23,7 @@ def test_pass_disabled_vehicle():
     ang = lambda s: np.unwrap(np.arctan2(s[:, 1] / 18.0, s[:, 0] / 30.0))
     assert ang(sa)[-1] > ang(sb)[-1], "never passed the parked car"
 
-    sa0, sb0 = run_two_cars(ticks=350, rollouts=192, timesteps=40,
+    sa0, sb0 = run_two_cars(ticks=500, rollouts=192, timesteps=40,
                             desired_speed=4.5, parked=True, avoid=False)
     d0 = np.hypot(sa0[:, 0] - sb0[:, 0], sa0[:, 1] - sb0[:, 1])
     assert d0.min() < d.min(), "baseline should cut it closer"

@@ -22,7 +22,10 @@ from autorally_tpu.solver.mppi import MPPISolver
 from autorally_tpu.tools.track_generator import oval_track
 
 NN_NPZ = "/root/reference/autorally_control/src/path_integral/params/models/autorally_nnet_09_12_2018.npz"
-START = np.array([30.0, 0.0, 1.57, 0.0, 2.0, 0.0, 0.0], dtype=np.float32)
+# ON the default oval (half_length 25): right apex, heading +y.  A start
+# off the track (e.g. x=30, channel0≈2.05 ≥ boundary 0.65) would crash-
+# latch every rollout and make the cost/crash parity assertions vacuous.
+START = np.array([25.0, 0.0, 1.57, 0.0, 2.0, 0.0, 0.0], dtype=np.float32)
 
 
 def build(K=1920, T=100, pallas=None, exact_fused=False):
@@ -320,8 +323,8 @@ def test_obstacles_fused_on_tpu():
     cm = make_costmap(data, xb, yb)
     model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
     params = model.load_params(NN_NPZ)
-    # circles inside the first 2 s of travel from START (30, 0) heading +y
-    cost = ObstacleCost(make_obstacles([[30.0, 2.0, 0.4], [29.5, 1.0, 0.3]],
+    # circles inside the first 2 s of travel from START (25, 0) heading +y
+    cost = ObstacleCost(make_obstacles([[25.0, 2.0, 0.4], [24.6, 1.0, 0.3]],
                                        capacity=8),
                         obstacle_coeff=250.0, inflation=1.5)
     sp = MPPISolver(model, cost, cfg)
