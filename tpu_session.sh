@@ -1,0 +1,44 @@
+#!/usr/bin/env bash
+# Staged TPU validation — run the moment the accelerator tunnel is up.
+#
+# The axon tunnel to the real chip can drop for hours (observed twice in
+# round 2); everything hardware-bound is staged here so a single command
+# captures it all when a chip is reachable:
+#   1. probe     — device init in a subprocess (a hung tunnel cannot hang us)
+#   2. tests_tpu — kernel parity suite on the real chip
+#   3. bench     — headline + scale configs (writes the driver JSON line)
+#   4. breakdown — per-stage device timing for the sharded-1dev gap
+#
+# Usage: bash tpu_session.sh [outdir]      (default /tmp/tpu_session_<ts>)
+# Each stage is wrapped in `timeout`; a mid-session tunnel drop fails the
+# stage instead of wedging the shell.  Logs land in $OUT for EVAL.md.
+set -u
+cd "$(dirname "$0")"
+OUT=${1:-/tmp/tpu_session_$(date -u +%Y%m%dT%H%M%S)}
+mkdir -p "$OUT"
+echo "logs -> $OUT"
+
+echo "== 1/4 probe =="
+if ! timeout 180 python -c "import jax; print(jax.devices())" \
+      > "$OUT/probe.log" 2>&1; then
+  echo "tunnel DOWN (probe timed out / failed) — see $OUT/probe.log"
+  exit 1
+fi
+cat "$OUT/probe.log"
+
+echo "== 2/4 tests_tpu =="
+timeout 5400 python -m pytest tests_tpu/ -q 2>&1 | tee "$OUT/tests_tpu.log" \
+  | tail -15
+
+echo "== 3/4 bench =="
+timeout 5400 python bench.py 2>&1 | tee "$OUT/bench.json" | tail -3
+
+echo "== 4/4 solve breakdown (sharded-gap forensics) =="
+for flags in "" "--kernel-rng" "--bf"; do
+  timeout 1200 python -m autorally_tpu.tools.solve_breakdown $flags \
+    2>&1 | tee -a "$OUT/breakdown.log"
+done
+timeout 1800 python -m autorally_tpu.tools.scaling_bench \
+  2>&1 | tee "$OUT/scaling.log" | tail -5 || true
+
+echo "== done — logs in $OUT =="
