@@ -46,7 +46,8 @@ class ShardedMPPISolver(MPPISolver):
     """
 
     def __init__(self, model: Dynamics, cost: MPPICost, cfg: MPPIConfig,
-                 mesh: Optional[Mesh] = None, axis_name: str = ROLLOUT_AXIS):
+                 mesh: Optional[Mesh] = None, axis_name: str = ROLLOUT_AXIS,
+                 force_shard_map: bool = False):
         self.mesh = rollout_mesh() if mesh is None else mesh
         self.axis_name = axis_name
         self.n_shards = self.mesh.shape[axis_name]
@@ -54,10 +55,38 @@ class ShardedMPPISolver(MPPISolver):
             raise ValueError(
                 f"num_rollouts {cfg.num_rollouts} not divisible by "
                 f"{self.n_shards} shards")
+        # On a 1-device mesh, shard_map buys nothing and costs real device
+        # time (round-2 bench: ~164 vs ~390 solves/s at K=1920 on one
+        # chip), so the iterates run the body inline with identity
+        # reductions — bit-identical output because the per-shard noise
+        # key is still fold_in(key, 0).  ``force_shard_map`` keeps the
+        # wrapped path reachable for overhead forensics
+        # (tools/solve_breakdown, scaling_bench).
+        self._inline_body = self.n_shards == 1 and not force_shard_map
         super().__init__(model, cost, cfg)
 
     def _local_rollouts(self) -> int:
         return self.cfg.num_rollouts // self.n_shards
+
+    def _shard_ops(self):
+        """(axis_index, pmin, psum) — identity on the inline fast path."""
+        if self._inline_body:
+            return ((lambda: jnp.int32(0)), (lambda x: x), (lambda x: x))
+        axis = self.axis_name
+        return ((lambda: lax.axis_index(axis)),
+                (lambda x: lax.pmin(x, axis)),
+                (lambda x: lax.psum(x, axis)))
+
+    def _run_body(self, body, *operands):
+        if self._inline_body:
+            return body(*operands)
+        fn = shard_map(
+            body, mesh=self.mesh,
+            in_specs=tuple(P() for _ in operands),
+            out_specs=(P(), SolveStats(*([P()] * 6))),
+            check_vma=False,
+        )
+        return fn(*operands)
 
     # The sharded iteration: replicated inputs, replicated outputs; the K
     # axis exists only *inside* the shard_map body (each chip materializes
@@ -68,10 +97,10 @@ class ShardedMPPISolver(MPPISolver):
         cfg = self.cfg
         T, C = cfg.num_timesteps, self.model.CONTROL_DIM
         K_local = cfg.num_rollouts // self.n_shards
-        axis = self.axis_name
+        axis_index, pmin, psum = self._shard_ops()
 
         def body(model_params, cost_params, costmap, state, U, key):
-            idx = lax.axis_index(axis)
+            idx = axis_index()
             shard_key = jax.random.fold_in(key, idx)
             eps = self._sample_noise(shard_key, (T, K_local, C))
             total, u_seq, crash = self.rollout_costs(
@@ -79,12 +108,12 @@ class ShardedMPPISolver(MPPISolver):
                 k_offset=idx * K_local)
 
             # Cross-chip reductions (the only communication).
-            baseline = lax.pmin(jnp.min(total), axis)
+            baseline = pmin(jnp.min(total))
             w = jnp.exp(-cfg.gamma * (total - baseline))
-            eta = lax.psum(jnp.sum(w), axis)
-            sum_w2 = lax.psum(jnp.sum(w * w), axis)
+            eta = psum(jnp.sum(w))
+            sum_w2 = psum(jnp.sum(w * w))
             spec = "k,ctk->tc" if self.use_pallas_rollout else "k,tkc->tc"
-            numer = lax.psum(jnp.einsum(spec, w, u_seq), axis)
+            numer = psum(jnp.einsum(spec, w, u_seq))
             U_new = numer / eta
 
             stats = SolveStats(
@@ -92,19 +121,14 @@ class ShardedMPPISolver(MPPISolver):
                 normalizer=eta,
                 trajectory_cost=sum_w2 / eta,
                 ess=(eta * eta) / sum_w2,
-                mean_cost=lax.psum(jnp.sum(total), axis) / cfg.num_rollouts,
-                crash_frac=lax.psum(jnp.sum(crash.astype(jnp.float32)), axis)
+                mean_cost=psum(jnp.sum(total)) / cfg.num_rollouts,
+                crash_frac=psum(jnp.sum(crash.astype(jnp.float32)))
                 / cfg.num_rollouts,
             )
             return U_new, stats
 
-        fn = shard_map(
-            body, mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(), P(), P()),
-            out_specs=(P(), SolveStats(*([P()] * 6))),
-            check_vma=False,
-        )
-        return fn(model_params, cost_params, costmap, state, U, key)
+        return self._run_body(
+            body, model_params, cost_params, costmap, state, U, key)
 
     # kernel-RNG (nothing-in-HBM) mode, sharded: each chip seeds the
     # Mosaic PRNG from its own folded key — the per-chip cuRAND stream of
@@ -114,13 +138,13 @@ class ShardedMPPISolver(MPPISolver):
                              U, key) -> Tuple[jnp.ndarray, SolveStats]:
         cfg = self.cfg
         K_local = cfg.num_rollouts // self.n_shards
-        axis = self.axis_name
+        axis_index, pmin, psum = self._shard_ops()
 
         def body(model_params, cost_params, field, state, U, key):
             from autorally_tpu.ops.rollout_kernel import (fused_rng_costs,
                                                           fused_rng_numer)
 
-            idx = lax.axis_index(axis)
+            idx = axis_index()
             shard_key = jax.random.fold_in(key, idx)
             total, crash, ctx = fused_rng_costs(
                 self.model, model_params, cfg, cost_params, field,
@@ -130,11 +154,11 @@ class ShardedMPPISolver(MPPISolver):
                 precision=cfg.matmul_precision,
                 **self._obstacle_kwargs(cost_params))
 
-            baseline = lax.pmin(jnp.min(total), axis)
+            baseline = pmin(jnp.min(total))
             w = jnp.exp(-cfg.gamma * (total - baseline))
-            eta = lax.psum(jnp.sum(w), axis)
-            sum_w2 = lax.psum(jnp.sum(w * w), axis)
-            numer = lax.psum(fused_rng_numer(ctx, w), axis)
+            eta = psum(jnp.sum(w))
+            sum_w2 = psum(jnp.sum(w * w))
+            numer = psum(fused_rng_numer(ctx, w))
             U_new = (numer / eta).T
 
             stats = SolveStats(
@@ -142,19 +166,14 @@ class ShardedMPPISolver(MPPISolver):
                 normalizer=eta,
                 trajectory_cost=sum_w2 / eta,
                 ess=(eta * eta) / sum_w2,
-                mean_cost=lax.psum(jnp.sum(total), axis) / cfg.num_rollouts,
-                crash_frac=lax.psum(jnp.sum(crash.astype(jnp.float32)), axis)
+                mean_cost=psum(jnp.sum(total)) / cfg.num_rollouts,
+                crash_frac=psum(jnp.sum(crash.astype(jnp.float32)))
                 / cfg.num_rollouts,
             )
             return U_new, stats
 
-        fn = shard_map(
-            body, mesh=self.mesh,
-            in_specs=(P(), P(), P(), P(), P(), P()),
-            out_specs=(P(), SolveStats(*([P()] * 6))),
-            check_vma=False,
-        )
-        return fn(model_params, cost_params, field, state, U, key)
+        return self._run_body(
+            body, model_params, cost_params, field, state, U, key)
 
     def _solve(self, model_params, cost_params: CostParams, costmap: Costmap,
                state: jnp.ndarray, cs: ControllerState

@@ -19,6 +19,11 @@ serializes shows up immediately as collapsing virtual-mesh efficiency).
 Virtual-device timings oversubscribe host cores, so they are a floor,
 not a forecast; the JSON labels which kind of run produced them.
 
+The 1-device row uses the solver's inline fast path (no shard_map), so
+efficiency is measured against the best single-chip implementation —
+the honest denominator for "what does adding chips buy" — rather than
+against a 1-device shard_map program nobody would deploy.
+
 Prints one JSON line; ``--out`` also writes it to a file.
 
 Usage::
@@ -58,7 +63,8 @@ def _timed_solves(solver, params, cost_params, costmap, state, n=8,
 
 def run_scaling(device_counts, mode: str = "weak", k_local: int = 1920,
                 k_total: int = 15360, num_timesteps: int = 100,
-                n: int = 8, batches: int = 4) -> dict:
+                n: int = 8, batches: int = 4,
+                one_dev: str = "inline") -> dict:
     """Measure solves/s across mesh sizes.  Returns the result dict."""
     import jax
 
@@ -78,6 +84,7 @@ def run_scaling(device_counts, mode: str = "weak", k_local: int = 1920,
         "devices_present": len(devices),
         "num_timesteps": num_timesteps,
         "virtual": devices[0].platform == "cpu",
+        "one_dev": one_dev,
     }
     for m in modes:
         rows = []
@@ -87,8 +94,14 @@ def run_scaling(device_counts, mode: str = "weak", k_local: int = 1920,
                 continue
             cfg = MPPIConfig(num_rollouts=K, num_timesteps=num_timesteps)
             mesh = rollout_mesh(devices[:c])
-            solver, params, cp, cm, state = _build(cfg, sharded=True,
-                                                   mesh=mesh)
+            # one_dev picks the efficiency denominator: "inline" (default)
+            # grades against the best single-chip implementation — the
+            # product question; "shard_map" keeps the wrapper at c=1 too —
+            # the structural does-shard_map-parallelize diagnostic
+            # (tests/test_scaling_bench.py)
+            solver, params, cp, cm, state = _build(
+                cfg, sharded=True, mesh=mesh,
+                force_shard_map=(one_dev == "shard_map"))
             sec = _timed_solves(solver, params, cp, cm, state, n=n,
                                 batches=batches)
             rows.append({"devices": c, "K": K,
@@ -126,6 +139,12 @@ def main(argv=None) -> int:
     ap.add_argument("--virtual", type=int, default=0,
                     help="force N virtual CPU devices (shape validation "
                          "without a slice)")
+    ap.add_argument("--one-dev", choices=("inline", "shard_map"),
+                    default="inline",
+                    help="1-device row implementation: 'inline' = best "
+                         "single-chip path (product efficiency), "
+                         "'shard_map' = keep the wrapper (structural "
+                         "parallelization diagnostic)")
     ap.add_argument("--out", default=None, help="also write JSON here")
     args = ap.parse_args(argv)
 
@@ -140,10 +159,14 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
+    from autorally_tpu.io.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     counts = sorted({int(c) for c in args.devices.split(",")})
     res = run_scaling(counts, mode=args.mode, k_local=args.k_local,
                       k_total=args.k_total, num_timesteps=args.timesteps,
-                      n=args.n, batches=args.batches)
+                      n=args.n, batches=args.batches, one_dev=args.one_dev)
     line = json.dumps(res)
     print(line)
     if args.out:

@@ -33,7 +33,11 @@ def scaling():
             [sys.executable, "-m", "autorally_tpu.tools.scaling_bench",
              "--virtual", "4", "--devices", "1,4", "--mode", "both",
              "--k-local", "256", "--k-total", "2048", "--timesteps", "32",
-             "--n", "4", "--batches", "3"],
+             "--n", "4", "--batches", "3",
+             # structural diagnostic: the 1-device denominator must go
+             # through shard_map too, else the (now faster) inline fast
+             # path deflates efficiency below the floors this test guards
+             "--one-dev", "shard_map"],
             capture_output=True, text=True, timeout=600)
         assert out.returncode == 0, out.stderr[-2000:]
         res = json.loads(out.stdout.strip().splitlines()[-1])

@@ -109,3 +109,27 @@ def test_multihost_helpers_single_process():
     assert is_primary()
     mesh = multihost_rollout_mesh()
     assert mesh.shape["rollouts"] == len(jax.devices())
+
+
+def test_one_device_inline_fast_path_bit_matches_shard_map():
+    """On a 1-device mesh the solver bypasses shard_map (identity
+    reductions, idx=0) — the output must be bit-identical to the wrapped
+    path, which ``force_shard_map=True`` keeps reachable."""
+    cfg = MPPIConfig(num_rollouts=K, num_timesteps=T)
+    data, xb, yb = oval_track(ppm=2.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    mesh = rollout_mesh(jax.devices()[:1])
+
+    fast = ShardedMPPISolver(model, MPPICost(), cfg, mesh=mesh)
+    slow = ShardedMPPISolver(model, MPPICost(), cfg, mesh=mesh,
+                             force_shard_map=True)
+    assert fast._inline_body and not slow._inline_body
+
+    cs = fast.init_state()
+    cs_f, st_f = fast.solve(params, CostParams(), cm, START, cs)
+    cs_s, st_s = slow.solve(params, CostParams(), cm, START, cs)
+    np.testing.assert_array_equal(np.asarray(cs_f.U), np.asarray(cs_s.U))
+    assert float(st_f.ess) == float(st_s.ess)
+    assert float(st_f.baseline) == float(st_s.baseline)
