@@ -59,7 +59,10 @@ def main(argv=None) -> int:
 
     from __graft_entry__ import _build
     from autorally_tpu.config import MPPIConfig
+    from autorally_tpu.io.compile_cache import enable_persistent_cache
     from autorally_tpu.solver.mppi import savitzky_golay
+
+    enable_persistent_cache()
 
     cfg = MPPIConfig(num_rollouts=args.rollouts,
                      num_timesteps=args.timesteps,

@@ -104,6 +104,9 @@ def main():
     import jax
 
     from autorally_tpu.config import MPPIConfig
+    from autorally_tpu.io.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     n_dev = len(jax.devices())
 

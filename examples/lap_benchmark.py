@@ -58,6 +58,9 @@ def main():
     import jax
     from autorally_tpu.config import CostParams, MPPIConfig
     from autorally_tpu.costs import MPPICost
+    from autorally_tpu.io.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from autorally_tpu.costs.costmap import make_costmap
     from autorally_tpu.models import NeuralNetDynamics
     from autorally_tpu.runtime.episode import EpisodeRunner
