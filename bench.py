@@ -150,8 +150,10 @@ def main():
                        kernel_rng=True),
             n=4, batches=3), 2)
 
-        # sharded over every available device (1 on this rig: measures the
-        # shard_map + collectives overhead; a real slice scales K)
+        # sharded over every available device (on a 1-device rig the
+        # solver's inline fast path applies — shard_map is bypassed, so
+        # this should track the headline; a real slice scales K and runs
+        # the collectives)
         extra["sharded_K1920_solves_per_sec"] = round(_bench_cfg(
             cfg, sharded=True, n=12, batches=4), 2)
         extra["sharded_K_per_device"] = 1920 // n_dev
