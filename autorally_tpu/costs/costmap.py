@@ -56,6 +56,12 @@ class Costmap:
     r_c1: jnp.ndarray
     r_c2: jnp.ndarray
     trs: jnp.ndarray
+    # (Wblk, Hp, 128) VMEM panel layout for the exact fused Pallas kernels
+    # (ops/rollout_kernel.exact_map_tiles), or None when the padded map
+    # exceeds the kernel's VMEM budget.  Precomputed here so the per-solve
+    # jitted program takes it as an input instead of re-padding and
+    # transposing the whole map every replan.
+    ch0_tiles: jnp.ndarray = None
 
     @property
     def height(self) -> int:
@@ -77,8 +83,9 @@ class Costmap:
         H, W = data.shape[:2]
         Wp = -(-W // row_lanes) * row_lanes
         ch0 = jnp.pad(data[..., 0], ((0, 0), (0, Wp - W)))
+        from autorally_tpu.ops.rollout_kernel import exact_map_tiles
         return cls(data, ch0.reshape(H * (Wp // row_lanes), row_lanes),
-                   r_c1, r_c2, trs)
+                   r_c1, r_c2, trs, exact_map_tiles(data[..., 0]))
 
     def world_to_norm(self, x: jnp.ndarray, y: jnp.ndarray
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -127,7 +134,8 @@ class Costmap:
         return vals.reshape(shape)
 
     def tree_flatten(self):
-        return (self.data, self.ch0_rows, self.r_c1, self.r_c2, self.trs), None
+        return (self.data, self.ch0_rows, self.r_c1, self.r_c2, self.trs,
+                self.ch0_tiles), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -210,6 +210,153 @@ def _append_obstacles(sc, obstacles, obstacle_coeff: float,
     return sc, n_obs
 
 
+def _pack_scalars(cfg, rngs, nu, k_offset, state, transform, cost_params):
+    """Build the shared (40,) SMEM scalar vector of the fused kernels
+    (layout documented on ``_fused_kernel``).  ``transform`` is any
+    object with ``r_c1 / r_c2 / trs`` (Costmap or NeuralCostmap).  One
+    packer for all three fused callers so the layout cannot diverge."""
+    sc = jnp.zeros((40,), dtype=jnp.float32)
+    sc = sc.at[0:2].set(nu)
+    sc = sc.at[2:6].set(jnp.stack([rngs[0, 0], rngs[0, 1],
+                                   rngs[1, 0], rngs[1, 1]]))
+    sc = sc.at[6].set(cfg.optimization_stride)
+    sc = sc.at[7].set(cfg.pure_noise_frac * cfg.num_rollouts - k_offset)
+    sc = sc.at[8].set(jnp.where(k_offset == 0, 1.0, 0.0))
+    sc = sc.at[9:16].set(state.astype(jnp.float32))
+    sc = sc.at[16:19].set(transform.r_c1)
+    sc = sc.at[19:22].set(transform.r_c2)
+    sc = sc.at[22:25].set(transform.trs)
+    sc = sc.at[25].set(cost_params.desired_speed)
+    sc = sc.at[26].set(cost_params.speed_coeff)
+    sc = sc.at[27].set(cost_params.track_coeff)
+    sc = sc.at[28].set(cost_params.max_slip_ang)
+    sc = sc.at[29].set(cost_params.slip_penalty)
+    sc = sc.at[30].set(cost_params.track_slop)
+    sc = sc.at[31].set(cost_params.crash_coeff)
+    sc = sc.at[32].set(cost_params.steering_coeff)
+    sc = sc.at[33].set(cost_params.throttle_coeff)
+    sc = sc.at[34].set(cost_params.boundary_threshold)
+    sc = sc.at[35].set(cost_params.discount)
+    return sc
+
+
+def _make_field_eval(sc, wf, freqs_ref, n_field_layers: int):
+    """Build the in-kernel neural track field evaluator (one shared
+    definition for the eps-fed and RNG fused kernels).
+
+    Mirrors ``NeuralCostmap.lookup_ch0`` exactly (same block feature
+    order) so the same fitted weights drive both paths.  The Fourier
+    features are built as full-sublane (F, L) blocks — one broadcast
+    multiply + one trig op per block keeps the VPU dense (1-sublane rows
+    would cost 8x).  Returns ``field_eval(x, y) -> (1, L)`` for world
+    coordinate rows ``(1, L)``."""
+    rc1x, rc1y, rc1w = sc[16], sc[17], sc[18]
+    rc2x, rc2y, rc2w = sc[19], sc[20], sc[21]
+    trsx, trsy, trsw = sc[22], sc[23], sc[24]
+
+    def field_eval(x, y):
+        u = rc1x * x + rc2x * y + trsx
+        v = rc1y * x + rc2y * y + trsy
+        w = rc1w * x + rc2w * y + trsw
+        u = jnp.clip(u / w, 0.0, 1.0)
+        v = jnp.clip(v / w, 0.0, 1.0)
+        # NaN coords -> (0, 0), matching NeuralCostmap.lookup_ch0's
+        # nan_to_num (and the exact kernel's map_indices): without this a
+        # NaN state would yield NaN track cost here but a finite value on
+        # the XLA path
+        u = jnp.where(jnp.isnan(u), 0.0, u)
+        v = jnp.where(jnp.isnan(v), 0.0, v)
+        fcol = freqs_ref[:, :]                                # (F, 1)
+        ang_u = fcol * u                                      # (F, L)
+        ang_v = fcol * v
+        acts = jnp.concatenate(
+            [u, v, jnp.sin(ang_u), jnp.sin(ang_v),
+             jnp.cos(ang_u), jnp.cos(ang_v)], axis=0)         # (2+4F, L)
+        for i in range(n_field_layers):
+            Wt = wf[2 * i][:, :]                              # (out, in)
+            b = wf[2 * i + 1][:, :]                           # (out, 1)
+            # default precision: fit error dominates eval precision (see
+            # NeuralCostmap.lookup_ch0)
+            acts = jax.lax.dot_general(
+                Wt, acts, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + b
+            if i < n_field_layers - 1:
+                acts = jnp.maximum(acts, 0.0)
+        return acts                                           # (1, L)
+
+    return field_eval
+
+
+def _make_cost_step(sc, lookup, obstacle_terms, l1_cost: bool, K: int):
+    """Build the shared per-step cost + crash-latch block of the fused
+    kernels (``computeCost``, ``costs.cu:396-409``) — ONE definition so a
+    semantic fix cannot silently miss a kernel.
+
+    ``lookup(px, py) -> (1, 2K)`` samples the track surface (neural field
+    or exact costmap) at the stacked front/back points.  Returns
+    ``cost_step(t, x, y, cy, sy, ux, uy, u0, u1, du0, du1, running,
+    crash) -> (running, crash)`` where ``running`` is the reference's
+    running average (``mppi_controller.cu:162-165``; t=0 contributes 0)
+    and ``crash`` the persistent boundary/obstacle latch (roll is latched
+    by the caller after the Euler update)."""
+    nu0, nu1 = sc[0], sc[1]
+    desired_speed, speed_coeff, track_coeff = sc[25], sc[26], sc[27]
+    max_slip_ang, slip_penalty, track_slop, crash_coeff = (
+        sc[28], sc[29], sc[30], sc[31])
+    steering_coeff, throttle_coeff = sc[32], sc[33]
+    boundary_threshold, discount = sc[34], sc[35]
+
+    def cost_step(t, x, y, cy, sy, ux, uy, u0, u1, du0, du1,
+                  running, crash):
+        # track: surface sampled at car front/back; both point sets
+        # batched along the lane axis -> one (1, 2K) evaluation
+        px = jnp.concatenate([x + 0.5 * cy, x - 0.5 * cy], axis=1)
+        py = jnp.concatenate([y + 0.5 * sy, y - 0.5 * sy], axis=1)
+        fb = lookup(px, py)                                   # (1, 2K)
+        front = fb[:, :K]
+        back = fb[:, K:]
+        track = (jnp.abs(front) + jnp.abs(back)) * 0.5
+        track = jnp.where(jnp.abs(track) < track_slop, 0.0,
+                          track_coeff * track)
+        # Boundary latch only from cost steps t >= 1 — the scan path and
+        # the reference never boundary-check the initial state (cost step
+        # 0 contributes nothing; getTrackCost runs inside computeCost).
+        crash = jnp.maximum(crash, jnp.where(
+            ((front >= boundary_threshold) | (back >= boundary_threshold))
+            & (t > 0), 1.0, 0.0))
+        if obstacle_terms is not None:
+            ob_cost, ob_hit = obstacle_terms(x, y)
+            track = track + ob_cost
+            crash = jnp.maximum(crash, jnp.where(
+                (ob_hit > 0.0) & (t > 0), 1.0, 0.0))
+
+        err = ux - desired_speed
+        speed = speed_coeff * (jnp.abs(err) if l1_cost else err * err)
+
+        active = jnp.abs(ux) > 0.001
+        slip = -_atan(uy / jnp.where(active, jnp.abs(ux), 1.0))
+        stab = slip_penalty * slip * slip
+        stab = stab + jnp.where(jnp.abs(slip) > max_slip_ang,
+                                crash_coeff, 0.0)
+        stab = jnp.where(active, stab, 0.0)
+
+        control = (steering_coeff * du0 * (u0 - du0) / (nu0 * nu0)
+                   + throttle_coeff * du1 * (u1 - du1) / (nu1 * nu1))
+        crash_c = (1.0 - discount) * jnp.where(crash > 0.0, crash_coeff,
+                                               0.0)
+
+        c = control + speed + crash_c + track + stab
+        c = jnp.where((c > 1e12) | jnp.isnan(c), 1e12, c)
+        # running average (mppi_controller.cu:162-165); t=0 contributes 0
+        t_f = t.astype(jnp.float32)
+        running = jnp.where(
+            t > 0, running + (c - running) / jnp.maximum(t_f, 1.0),
+            running)
+        return running, crash
+
+    return cost_step
+
+
 PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
               "high": jax.lax.Precision.HIGH,
               "default": jax.lax.Precision.DEFAULT}
@@ -400,7 +547,7 @@ def dynamics_chain_pallas(model, model_params, cfg, state, U, eps,
     """
     T, K, C = eps.shape
     S = model.STATE_DIM
-    rngs = model_params["control_rngs"]
+    rngs = jnp.reshape(model_params["control_rngs"], (-1, 2))[-C:]
     nu = jnp.asarray(cfg.exploration_std, dtype=jnp.float32)
     k_offset = jnp.asarray(k_offset, dtype=jnp.float32)
     scalars = jnp.concatenate([
@@ -460,18 +607,24 @@ def _fused_kernel(kind: str, spec: tuple, n_field_layers: int,
                   eps_ref, *refs):
     """Rollout + cost in one program (the full ``rolloutKernel``).
 
-    ``scalars_ref`` (SMEM, (32,)) packing (see ``fused_rollout_cost_pallas``):
-      [0:2]   nu0, nu1
-      [2:6]   lo0, hi0, lo1, hi1
-      [6:9]   opt_delay, pure_thresh (k_offset folded), k0_flag
-      [9:16]  s0 (7 state components)
-      [16:25] r_c1 (3), r_c2 (3), trs (3) map transform
-      [25:32] cost params: desired_speed, speed_coeff, track_coeff,
-              max_slip_ang, slip_penalty, track_slop, crash_coeff
-      ...continued in scalars2_ref
-    ``scalars2_ref`` is folded into scalars_ref tail: steering_coeff,
-    throttle_coeff, boundary_threshold, discount live at [32:36] of the
-    (40,)-long scalars vector.
+    ``scalars_ref`` (SMEM, (40 + obstacle block,)) packing (see
+    ``fused_rollout_cost_pallas``):
+      [0:2]        nu0, nu1
+      [2:6]        lo0, hi0, lo1, hi1
+      [6:9]        opt_delay, pure_thresh (k_offset folded), k0_flag
+      [9:16]       s0 (7 state components)
+      [16:25]      r_c1 (3), r_c2 (3), trs (3) map transform
+      [25:32]      cost params: desired_speed, speed_coeff, track_coeff,
+                   max_slip_ang, slip_penalty, track_slop, crash_coeff
+      [32:36]      steering_coeff, throttle_coeff, boundary_threshold,
+                   discount
+      [36:38]      obstacle_coeff, inflation (``_make_obstacle_terms``)
+      [38:40]      zero padding
+      [40:40+3n]   obstacle circles [x..., y..., radius...] when
+                   ``n_obs > 0`` (radius <= 0 = inactive slot)
+    New scalar params must extend the packing in ALL THREE fused callers
+    (``fused_rollout_cost_pallas``, ``fused_exact_rollout_cost_pallas``,
+    ``fused_rng_costs``) — the layouts are kept in lockstep.
 
     refs: [W_dyn..., b_dyn..., W_field..., b_field..., freqs,
            costs_out, crash_out, useq_out]
@@ -490,14 +643,6 @@ def _fused_kernel(kind: str, spec: tuple, n_field_layers: int,
     nu0, nu1 = sc[0], sc[1]
     lo0, hi0, lo1, hi1 = sc[2], sc[3], sc[4], sc[5]
     opt_delay, pure_thresh, k0_flag = sc[6], sc[7], sc[8]
-    rc1x, rc1y, rc1w = sc[16], sc[17], sc[18]
-    rc2x, rc2y, rc2w = sc[19], sc[20], sc[21]
-    trsx, trsy, trsw = sc[22], sc[23], sc[24]
-    desired_speed, speed_coeff, track_coeff = sc[25], sc[26], sc[27]
-    max_slip_ang, slip_penalty, track_slop, crash_coeff = (
-        sc[28], sc[29], sc[30], sc[31])
-    steering_coeff, throttle_coeff = sc[32], sc[33]
-    boundary_threshold, discount = sc[34], sc[35]
 
     tile0 = (pl.program_id(0) * K).astype(jnp.float32)
     k_idx = tile0 + jax.lax.broadcasted_iota(
@@ -516,38 +661,9 @@ def _fused_kernel(kind: str, spec: tuple, n_field_layers: int,
     d40 = jnp.concatenate([jnp.full((1, K), sc[12 + i])
                            for i in range(4)], axis=0)        # (4, K)
 
-    def field_eval(x, y):
-        """Neural track field at world (x, y) rows (1, L) -> (1, L).
-
-        Mirrors ``NeuralCostmap.lookup_ch0`` exactly (same block feature
-        order) so the same fitted weights drive both paths.  The Fourier
-        features are built as full-sublane (F, L) blocks — one broadcast
-        multiply + one trig op per block keeps the VPU dense (1-sublane
-        rows would cost 8x)."""
-        u = rc1x * x + rc2x * y + trsx
-        v = rc1y * x + rc2y * y + trsy
-        w = rc1w * x + rc2w * y + trsw
-        u = jnp.clip(u / w, 0.0, 1.0)
-        v = jnp.clip(v / w, 0.0, 1.0)
-        fcol = freqs_ref[:, :]                                # (F, 1)
-        ang_u = fcol * u                                      # (F, L)
-        ang_v = fcol * v
-        acts = jnp.concatenate(
-            [u, v, jnp.sin(ang_u), jnp.sin(ang_v),
-             jnp.cos(ang_u), jnp.cos(ang_v)], axis=0)         # (2+4F, L)
-        for i in range(n_field_layers):
-            Wt = wf[2 * i][:, :]                              # (out, in)
-            b = wf[2 * i + 1][:, :]                           # (out, 1)
-            # default precision: fit error dominates eval precision (see
-            # NeuralCostmap.lookup_ch0)
-            acts = jax.lax.dot_general(
-                Wt, acts, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b
-            if i < n_field_layers - 1:
-                acts = jnp.maximum(acts, 0.0)
-        return acts                                           # (1, L)
-
+    field_eval = _make_field_eval(sc, wf, freqs_ref, n_field_layers)
     obstacle_terms = _make_obstacle_terms(sc, n_obs) if n_obs else None
+    cost_step = _make_cost_step(sc, field_eval, obstacle_terms, l1_cost, K)
 
     def step(t, carry):
         x, y, yaw, d4, running, crash = carry
@@ -573,51 +689,9 @@ def _fused_kernel(kind: str, spec: tuple, n_field_layers: int,
         cy = jnp.cos(yaw)
         sy = jnp.sin(yaw)
 
-        # ---- cost of the current state (computeCost, costs.cu:396-409),
-        # only counted for t >= 1 via the running-average mask below ------
-        # track: field sampled at car front/back; both point sets batched
-        # along the lane axis -> one (1, 2K) field evaluation
-        px = jnp.concatenate([x + 0.5 * cy, x - 0.5 * cy], axis=1)
-        py = jnp.concatenate([y + 0.5 * sy, y - 0.5 * sy], axis=1)
-        fb = field_eval(px, py)                               # (1, 2K)
-        front = fb[:, :K]
-        back = fb[:, K:]
-        track = (jnp.abs(front) + jnp.abs(back)) * 0.5
-        track = jnp.where(jnp.abs(track) < track_slop, 0.0,
-                          track_coeff * track)
-        # Boundary latch only from cost steps t >= 1 — the scan path and
-        # the reference never boundary-check the initial state (cost step
-        # 0 contributes nothing; getTrackCost runs inside computeCost).
-        crash = jnp.maximum(crash, jnp.where(
-            ((front >= boundary_threshold) | (back >= boundary_threshold))
-            & (t > 0), 1.0, 0.0))
-        if n_obs:
-            ob_cost, ob_hit = obstacle_terms(x, y)
-            track = track + ob_cost
-            crash = jnp.maximum(crash, jnp.where(
-                (ob_hit > 0.0) & (t > 0), 1.0, 0.0))
-
-        err = ux - desired_speed
-        speed = speed_coeff * (jnp.abs(err) if l1_cost else err * err)
-
-        active = jnp.abs(ux) > 0.001
-        slip = -_atan(uy / jnp.where(active, jnp.abs(ux), 1.0))
-        stab = slip_penalty * slip * slip
-        stab = stab + jnp.where(jnp.abs(slip) > max_slip_ang,
-                                crash_coeff, 0.0)
-        stab = jnp.where(active, stab, 0.0)
-
-        control = (steering_coeff * du0 * (u0 - du0) / (nu0 * nu0)
-                   + throttle_coeff * du1 * (u1 - du1) / (nu1 * nu1))
-
-        crash_c = (1.0 - discount) * jnp.where(crash > 0.0, crash_coeff, 0.0)
-
-        c = control + speed + crash_c + track + stab
-        c = jnp.where((c > 1e12) | jnp.isnan(c), 1e12, c)
-        # running average (mppi_controller.cu:162-165); t=0 contributes 0
-        t_f = t.astype(jnp.float32)
-        running = jnp.where(
-            t > 0, running + (c - running) / jnp.maximum(t_f, 1.0), running)
+        # ---- cost of the current state (shared _make_cost_step block) ----
+        running, crash = cost_step(t, x, y, cy, sy, ux, uy, u0, u1,
+                                   du0, du1, running, crash)
 
         # ---- dynamics + Euler --------------------------------------------
         dx = cy * ux - sy * uy
@@ -649,9 +723,12 @@ def _fused_kernel(kind: str, spec: tuple, n_field_layers: int,
         y = y + dy_ * dt
         yaw = yaw + dyaw * dt
         d4 = d4 + acts * dt
-        # roll-over latch after the update (getCrash, costs.cu:301-305)
+        # roll-over latch after the update (getCrash, costs.cu:301-305);
+        # gated t < T-1 so only s_1..s_{T-1} are checked — the scan path
+        # (solver/mppi.py roll_flag over states[:-1]) and the reference
+        # never roll-check the final integrated state s_T
         crash = jnp.maximum(crash, jnp.where(
-            jnp.abs(d4[0:1, :]) > 1.57, 1.0, 0.0))
+            (jnp.abs(d4[0:1, :]) > 1.57) & (t < T - 1), 1.0, 0.0))
         return (x, y, yaw, d4, running, crash)
 
     running0 = jnp.zeros((1, K), jnp.float32)
@@ -720,28 +797,7 @@ def fused_rollout_cost_pallas(model, model_params, cfg, cost_params, field,
     nu = jnp.asarray(cfg.exploration_std, dtype=jnp.float32)
     k_offset = jnp.asarray(k_offset, dtype=jnp.float32)
 
-    sc = jnp.zeros((40,), dtype=jnp.float32)
-    sc = sc.at[0:2].set(nu)
-    sc = sc.at[2:6].set(jnp.stack([rngs[0, 0], rngs[0, 1],
-                                   rngs[1, 0], rngs[1, 1]]))
-    sc = sc.at[6].set(cfg.optimization_stride)
-    sc = sc.at[7].set(cfg.pure_noise_frac * cfg.num_rollouts - k_offset)
-    sc = sc.at[8].set(jnp.where(k_offset == 0, 1.0, 0.0))
-    sc = sc.at[9:16].set(state.astype(jnp.float32))
-    sc = sc.at[16:19].set(field.r_c1)
-    sc = sc.at[19:22].set(field.r_c2)
-    sc = sc.at[22:25].set(field.trs)
-    sc = sc.at[25].set(cost_params.desired_speed)
-    sc = sc.at[26].set(cost_params.speed_coeff)
-    sc = sc.at[27].set(cost_params.track_coeff)
-    sc = sc.at[28].set(cost_params.max_slip_ang)
-    sc = sc.at[29].set(cost_params.slip_penalty)
-    sc = sc.at[30].set(cost_params.track_slop)
-    sc = sc.at[31].set(cost_params.crash_coeff)
-    sc = sc.at[32].set(cost_params.steering_coeff)
-    sc = sc.at[33].set(cost_params.throttle_coeff)
-    sc = sc.at[34].set(cost_params.boundary_threshold)
-    sc = sc.at[35].set(cost_params.discount)
+    sc = _pack_scalars(cfg, rngs, nu, k_offset, state, field, cost_params)
     sc, n_obs = _append_obstacles(sc, obstacles, obstacle_coeff, inflation)
 
     eps_t = jnp.transpose(eps, (0, 2, 1))
@@ -817,6 +873,25 @@ def _exact_dims(H: int, W: int):
     Wp = -(-W // (EXACT_WIN_BLOCKS * LANE)) * (EXACT_WIN_BLOCKS * LANE)
     Wblk = Wp // LANE
     return Hp, RW, Wp, Wblk, EXACT_WIN_BLOCKS
+
+
+def exact_map_tiles(ch0: jnp.ndarray):
+    """(Wblk, Hp, 128) VMEM panel layout of costmap channel 0 for the
+    exact fused kernels, or ``None`` when the padded map exceeds the
+    VMEM budget (the exact kernel then doesn't apply).
+
+    ``Costmap.build`` precomputes this once and carries it as a pytree
+    leaf (``ch0_tiles``): recomputing it inside every jitted replan
+    would pay an Hp*Wp*4-byte HBM pad+transpose per solve for a map
+    that is constant across replans.
+    """
+    H, W = int(ch0.shape[0]), int(ch0.shape[1])
+    Hp, _, Wp, Wblk, _ = _exact_dims(H, W)
+    if Hp * Wp * 4 > EXACT_VMEM_BUDGET:
+        return None
+    return jnp.transpose(
+        jnp.pad(ch0, ((0, Hp - H), (0, Wp - W))).reshape(Hp, Wblk, LANE),
+        (1, 0, 2))
 
 
 def exact_map_fits(costmap) -> bool:
@@ -948,11 +1023,6 @@ def _fused_exact_kernel(kind: str, spec: tuple, n_obs: int, T: int,
     nu0, nu1 = sc[0], sc[1]
     lo0, hi0, lo1, hi1 = sc[2], sc[3], sc[4], sc[5]
     opt_delay, pure_thresh, k0_flag = sc[6], sc[7], sc[8]
-    desired_speed, speed_coeff, track_coeff = sc[25], sc[26], sc[27]
-    max_slip_ang, slip_penalty, track_slop, crash_coeff = (
-        sc[28], sc[29], sc[30], sc[31])
-    steering_coeff, throttle_coeff = sc[32], sc[33]
-    boundary_threshold, discount = sc[34], sc[35]
 
     tile0 = (pl.program_id(0) * K).astype(jnp.float32)
     k_idx = tile0 + jax.lax.broadcasted_iota(
@@ -967,6 +1037,7 @@ def _fused_exact_kernel(kind: str, spec: tuple, n_obs: int, T: int,
     exact_lookup = _make_exact_lookup(map3_ref, vals_ref, sc, H, W, Hp,
                                       RW, Wblk, CB, K)
     obstacle_terms = _make_obstacle_terms(sc, n_obs) if n_obs else None
+    cost_step = _make_cost_step(sc, exact_lookup, obstacle_terms, l1_cost, K)
 
     def step(t, carry):
         s, running, crash = carry
@@ -995,45 +1066,10 @@ def _fused_exact_kernel(kind: str, spec: tuple, n_obs: int, T: int,
         cy = jnp.cos(yaw)
         sy = jnp.sin(yaw)
 
-        # track cost: exact costmap sample at car front/back, batched as
-        # one (1, 2K) lookup set sharing the per-step window
-        px = jnp.concatenate([x + 0.5 * cy, x - 0.5 * cy], axis=1)
-        py = jnp.concatenate([y + 0.5 * sy, y - 0.5 * sy], axis=1)
-        fb = exact_lookup(px, py)                             # (1, 2K)
-        front = fb[:, :K]
-        back = fb[:, K:]
-        track = (jnp.abs(front) + jnp.abs(back)) * 0.5
-        track = jnp.where(jnp.abs(track) < track_slop, 0.0,
-                          track_coeff * track)
-        # boundary latch suppressed at t==0 (parity with the scan path)
-        crash = jnp.maximum(crash, jnp.where(
-            ((front >= boundary_threshold) | (back >= boundary_threshold))
-            & (t > 0), 1.0, 0.0))
-        if n_obs:
-            ob_cost, ob_hit = obstacle_terms(x, y)
-            track = track + ob_cost
-            crash = jnp.maximum(crash, jnp.where(
-                (ob_hit > 0.0) & (t > 0), 1.0, 0.0))
-
-        err = ux - desired_speed
-        speed = speed_coeff * (jnp.abs(err) if l1_cost else err * err)
-
-        active = jnp.abs(ux) > 0.001
-        slip = -_atan(uy / jnp.where(active, jnp.abs(ux), 1.0))
-        stab = slip_penalty * slip * slip
-        stab = stab + jnp.where(jnp.abs(slip) > max_slip_ang,
-                                crash_coeff, 0.0)
-        stab = jnp.where(active, stab, 0.0)
-
-        control = (steering_coeff * du0 * (u0 - du0) / (nu0 * nu0)
-                   + throttle_coeff * du1 * (u1 - du1) / (nu1 * nu1))
-        crash_c = (1.0 - discount) * jnp.where(crash > 0.0, crash_coeff, 0.0)
-
-        c = control + speed + crash_c + track + stab
-        c = jnp.where((c > 1e12) | jnp.isnan(c), 1e12, c)
-        t_f = t.astype(jnp.float32)
-        running = jnp.where(
-            t > 0, running + (c - running) / jnp.maximum(t_f, 1.0), running)
+        # cost of the current state (shared _make_cost_step block; the
+        # exact-costmap front/back samples share the per-step window)
+        running, crash = cost_step(t, x, y, cy, sy, ux, uy, u0, u1,
+                                   du0, du1, running, crash)
 
         dx = cy * ux - sy * uy
         dy_ = sy * ux + cy * uy
@@ -1046,8 +1082,10 @@ def _fused_exact_kernel(kind: str, spec: tuple, n_obs: int, T: int,
             [dx, dy_, dyaw, acts, jnp.zeros((SPAD - 7, K), jnp.float32)],
             axis=0)
         s = s + deriv * dt
+        # roll latch gated t < T-1: only s_1..s_{T-1}, matching the scan
+        # path (see _fused_kernel)
         crash = jnp.maximum(crash, jnp.where(
-            jnp.abs(s[3:4, :]) > 1.57, 1.0, 0.0))
+            (jnp.abs(s[3:4, :]) > 1.57) & (t < T - 1), 1.0, 0.0))
         return (s, running, crash)
 
     running0 = jnp.zeros((1, K), jnp.float32)
@@ -1121,28 +1159,7 @@ def fused_exact_rollout_cost_pallas(model, model_params, cfg, cost_params,
     nu = jnp.asarray(cfg.exploration_std, dtype=jnp.float32)
     k_offset = jnp.asarray(k_offset, dtype=jnp.float32)
 
-    sc = jnp.zeros((40,), dtype=jnp.float32)
-    sc = sc.at[0:2].set(nu)
-    sc = sc.at[2:6].set(jnp.stack([rngs[0, 0], rngs[0, 1],
-                                   rngs[1, 0], rngs[1, 1]]))
-    sc = sc.at[6].set(cfg.optimization_stride)
-    sc = sc.at[7].set(cfg.pure_noise_frac * cfg.num_rollouts - k_offset)
-    sc = sc.at[8].set(jnp.where(k_offset == 0, 1.0, 0.0))
-    sc = sc.at[9:16].set(state.astype(jnp.float32))
-    sc = sc.at[16:19].set(costmap.r_c1)
-    sc = sc.at[19:22].set(costmap.r_c2)
-    sc = sc.at[22:25].set(costmap.trs)
-    sc = sc.at[25].set(cost_params.desired_speed)
-    sc = sc.at[26].set(cost_params.speed_coeff)
-    sc = sc.at[27].set(cost_params.track_coeff)
-    sc = sc.at[28].set(cost_params.max_slip_ang)
-    sc = sc.at[29].set(cost_params.slip_penalty)
-    sc = sc.at[30].set(cost_params.track_slop)
-    sc = sc.at[31].set(cost_params.crash_coeff)
-    sc = sc.at[32].set(cost_params.steering_coeff)
-    sc = sc.at[33].set(cost_params.throttle_coeff)
-    sc = sc.at[34].set(cost_params.boundary_threshold)
-    sc = sc.at[35].set(cost_params.discount)
+    sc = _pack_scalars(cfg, rngs, nu, k_offset, state, costmap, cost_params)
     sc, n_obs = _append_obstacles(sc, obstacles, obstacle_coeff, inflation)
 
     eps_t = jnp.transpose(eps, (0, 2, 1))
@@ -1152,9 +1169,9 @@ def fused_exact_rollout_cost_pallas(model, model_params, cfg, cost_params,
     ch0 = costmap.data[..., 0]
     H, W = int(ch0.shape[0]), int(ch0.shape[1])
     Hp, RW, Wp, Wblk, CB = _exact_dims(H, W)
-    map3 = jnp.transpose(
-        jnp.pad(ch0, ((0, Hp - H), (0, Wp - W))).reshape(Hp, Wblk, LANE),
-        (1, 0, 2))                                            # (Wblk, Hp, 128)
+    map3 = getattr(costmap, "ch0_tiles", None)                # (Wblk, Hp, 128)
+    if map3 is None:
+        map3 = exact_map_tiles(ch0)
 
     costs, crash, useq = _fused_exact_call(
         model.KERNEL_KIND, tuple(model.kernel_spec()), n_obs, T, K, H, W,
@@ -1220,14 +1237,6 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
     nu0, nu1 = sc[0], sc[1]
     lo0, hi0, lo1, hi1 = sc[2], sc[3], sc[4], sc[5]
     opt_delay, pure_thresh, k0_flag = sc[6], sc[7], sc[8]
-    rc1x, rc1y, rc1w = sc[16], sc[17], sc[18]
-    rc2x, rc2y, rc2w = sc[19], sc[20], sc[21]
-    trsx, trsy, trsw = sc[22], sc[23], sc[24]
-    desired_speed, speed_coeff, track_coeff = sc[25], sc[26], sc[27]
-    max_slip_ang, slip_penalty, track_slop, crash_coeff = (
-        sc[28], sc[29], sc[30], sc[31])
-    steering_coeff, throttle_coeff = sc[32], sc[33]
-    boundary_threshold, discount = sc[34], sc[35]
 
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
@@ -1241,34 +1250,13 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
         [jnp.full((1, K), sc[9 + i]) for i in range(7)]
         + [jnp.zeros((1, K), jnp.float32)], axis=0)
 
-    def field_eval(x, y):
-        u = rc1x * x + rc2x * y + trsx
-        v = rc1y * x + rc2y * y + trsy
-        w = rc1w * x + rc2w * y + trsw
-        u = jnp.clip(u / w, 0.0, 1.0)
-        v = jnp.clip(v / w, 0.0, 1.0)
-        fcol = freqs_ref[:, :]
-        ang_u = fcol * u
-        ang_v = fcol * v
-        acts = jnp.concatenate(
-            [u, v, jnp.sin(ang_u), jnp.sin(ang_v),
-             jnp.cos(ang_u), jnp.cos(ang_v)], axis=0)
-        for i in range(n_field_layers):
-            Wt = wf[2 * i][:, :]
-            b = wf[2 * i + 1][:, :]
-            acts = jax.lax.dot_general(
-                Wt, acts, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + b
-            if i < n_field_layers - 1:
-                acts = jnp.maximum(acts, 0.0)
-        return acts
-
     if cost_mode == "exact":
         lookup = _make_exact_lookup(map3_ref, vals_ref, sc, H, W, Hp,
                                     RW, Wblk, CB, K)
     else:
-        lookup = field_eval
+        lookup = _make_field_eval(sc, wf, freqs_ref, n_field_layers)
     obstacle_terms = _make_obstacle_terms(sc, n_obs) if n_obs else None
+    cost_step = _make_cost_step(sc, lookup, obstacle_terms, l1_cost, K)
 
     def step(t, carry):
         s, running, crash = carry
@@ -1295,43 +1283,9 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
         cy = jnp.cos(yaw)
         sy = jnp.sin(yaw)
 
-        px = jnp.concatenate([x + 0.5 * cy, x - 0.5 * cy], axis=1)
-        py = jnp.concatenate([y + 0.5 * sy, y - 0.5 * sy], axis=1)
-        fb = lookup(px, py)
-        front = fb[:, :K]
-        back = fb[:, K:]
-        track = (jnp.abs(front) + jnp.abs(back)) * 0.5
-        track = jnp.where(jnp.abs(track) < track_slop, 0.0,
-                          track_coeff * track)
-        # boundary latch suppressed at t==0 (parity with the scan path)
-        crash = jnp.maximum(crash, jnp.where(
-            ((front >= boundary_threshold) | (back >= boundary_threshold))
-            & (t > 0), 1.0, 0.0))
-        if n_obs:
-            ob_cost, ob_hit = obstacle_terms(x, y)
-            track = track + ob_cost
-            crash = jnp.maximum(crash, jnp.where(
-                (ob_hit > 0.0) & (t > 0), 1.0, 0.0))
-
-        err = ux - desired_speed
-        speed = speed_coeff * (jnp.abs(err) if l1_cost else err * err)
-
-        active = jnp.abs(ux) > 0.001
-        slip = -_atan(uy / jnp.where(active, jnp.abs(ux), 1.0))
-        stab = slip_penalty * slip * slip
-        stab = stab + jnp.where(jnp.abs(slip) > max_slip_ang,
-                                crash_coeff, 0.0)
-        stab = jnp.where(active, stab, 0.0)
-
-        control = (steering_coeff * du0 * (u0 - du0) / (nu0 * nu0)
-                   + throttle_coeff * du1 * (u1 - du1) / (nu1 * nu1))
-        crash_c = (1.0 - discount) * jnp.where(crash > 0.0, crash_coeff, 0.0)
-
-        c = control + speed + crash_c + track + stab
-        c = jnp.where((c > 1e12) | jnp.isnan(c), 1e12, c)
-        t_f = t.astype(jnp.float32)
-        running = jnp.where(
-            t > 0, running + (c - running) / jnp.maximum(t_f, 1.0), running)
+        # cost of the current state (shared _make_cost_step block)
+        running, crash = cost_step(t, x, y, cy, sy, ux, uy, u0, u1,
+                                   du0, du1, running, crash)
 
         dx = cy * ux - sy * uy
         dy_ = sy * ux + cy * uy
@@ -1344,8 +1298,10 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
             [dx, dy_, dyaw, acts, jnp.zeros((SPAD - 7, K), jnp.float32)],
             axis=0)
         s = s + deriv * dt
+        # roll latch gated t < T-1: only s_1..s_{T-1}, matching the scan
+        # path (see _fused_kernel)
         crash = jnp.maximum(crash, jnp.where(
-            jnp.abs(s[3:4, :]) > 1.57, 1.0, 0.0))
+            (jnp.abs(s[3:4, :]) > 1.57) & (t < T - 1), 1.0, 0.0))
         return (s, running, crash)
 
     running0 = jnp.zeros((1, K), jnp.float32)
@@ -1481,28 +1437,7 @@ def fused_rng_costs(model, model_params, cfg, cost_params, field, state, U,
     nu = jnp.asarray(cfg.exploration_std, dtype=jnp.float32)
     k_offset = jnp.asarray(k_offset, dtype=jnp.float32)
 
-    sc = jnp.zeros((40,), dtype=jnp.float32)
-    sc = sc.at[0:2].set(nu)
-    sc = sc.at[2:6].set(jnp.stack([rngs[0, 0], rngs[0, 1],
-                                   rngs[1, 0], rngs[1, 1]]))
-    sc = sc.at[6].set(cfg.optimization_stride)
-    sc = sc.at[7].set(cfg.pure_noise_frac * cfg.num_rollouts - k_offset)
-    sc = sc.at[8].set(jnp.where(k_offset == 0, 1.0, 0.0))
-    sc = sc.at[9:16].set(state.astype(jnp.float32))
-    sc = sc.at[16:19].set(field.r_c1)
-    sc = sc.at[19:22].set(field.r_c2)
-    sc = sc.at[22:25].set(field.trs)
-    sc = sc.at[25].set(cost_params.desired_speed)
-    sc = sc.at[26].set(cost_params.speed_coeff)
-    sc = sc.at[27].set(cost_params.track_coeff)
-    sc = sc.at[28].set(cost_params.max_slip_ang)
-    sc = sc.at[29].set(cost_params.slip_penalty)
-    sc = sc.at[30].set(cost_params.track_slop)
-    sc = sc.at[31].set(cost_params.crash_coeff)
-    sc = sc.at[32].set(cost_params.steering_coeff)
-    sc = sc.at[33].set(cost_params.throttle_coeff)
-    sc = sc.at[34].set(cost_params.boundary_threshold)
-    sc = sc.at[35].set(cost_params.discount)
+    sc = _pack_scalars(cfg, rngs, nu, k_offset, state, field, cost_params)
     sc, n_obs = _append_obstacles(sc, obstacles, obstacle_coeff, inflation)
 
     # deterministic seed from the jax key (plus a large odd stride per
@@ -1532,9 +1467,9 @@ def fused_rng_costs(model, model_params, cfg, cost_params, field, state, U,
         ch0 = field.data[..., 0]
         H, W = int(ch0.shape[0]), int(ch0.shape[1])
         Hp, RW, Wp, Wblk, CB = _exact_dims(H, W)
-        map3 = jnp.transpose(
-            jnp.pad(ch0, ((0, Hp - H), (0, Wp - W))).reshape(Hp, Wblk, LANE),
-            (1, 0, 2))
+        map3 = getattr(field, "ch0_tiles", None)
+        if map3 is None:
+            map3 = exact_map_tiles(ch0)
         wb = [map3] + wb
 
     costs, crash = _fused_rng_pass1(
