@@ -176,6 +176,11 @@ def main(argv=None) -> int:
     ap.add_argument("--refresh", type=float, default=0.2)
     ap.add_argument("--duration", type=float, default=None,
                     help="exit after N seconds (non-interactive mode)")
+    ap.add_argument("--wait-data", type=float, default=None,
+                    help="with --duration: start the countdown at the "
+                         "first received frame, waiting up to this many "
+                         "seconds for it (absorbs the publisher's jit "
+                         "compile on a loaded host)")
     ap.add_argument("--once", action="store_true",
                     help="collect briefly, print one frame, exit")
     ap.add_argument("--no-color", action="store_true")
@@ -200,7 +205,9 @@ def main(argv=None) -> int:
         except Exception:
             interactive = False
 
-    t_end = time.time() + (args.duration if args.duration
+    waiting = bool(args.wait_data and args.duration)
+    t_end = time.time() + (args.wait_data if waiting
+                           else args.duration if args.duration
                            else (1.0 if args.once else 1e18))
     try:
         last_draw = 0.0
@@ -217,6 +224,9 @@ def main(argv=None) -> int:
                             except ValueError:
                                 continue
                             state.ingest(rec)
+                            if waiting:
+                                waiting = False
+                                t_end = time.time() + args.duration
                             if log:
                                 log.write(data.decode() + "\n")
                     except BlockingIOError:

@@ -10,6 +10,13 @@ detector scores the trajectory.
     python examples/lap_benchmark.py [--ticks 4000] [--rollouts 1920] [--cpu]
 """
 
+import os
+import sys
+
+# Runnable as a plain script: put the repo root on sys.path (Python 3.11+
+# adds only the script's own directory, not the cwd).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import math
 import time

@@ -24,6 +24,13 @@ Run (CPU, ~2 min)::
     python examples/ml_loop_demo.py --cpu --ticks 1500 --epochs 60
 """
 
+import os
+import sys
+
+# Runnable as a plain script: put the repo root on sys.path (Python 3.11+
+# adds only the script's own directory, not the cwd).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import math

@@ -12,6 +12,13 @@ file (standalone-mode parity with ``param_getter.cpp:75-151``)::
     python examples/run_tube_mppi.py --launch /root/reference/autorally_control/launch/path_integral_nn.launch
 """
 
+import os
+import sys
+
+# Runnable as a plain script: put the repo root on sys.path (Python 3.11+
+# adds only the script's own directory, not the cwd).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import math
 import time

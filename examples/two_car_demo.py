@@ -19,6 +19,13 @@ Usage::
     python examples/two_car_demo.py --cpu [--scenario pass] [--no-avoid]
 """
 
+import os
+import sys
+
+# Runnable as a plain script: put the repo root on sys.path (Python 3.11+
+# adds only the script's own directory, not the cwd).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import math
 

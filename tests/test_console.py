@@ -145,9 +145,9 @@ def test_console_attaches_to_live_run(tmp_path):
     try:
         console = subprocess.run(
             [sys.executable, "-m", "autorally_tpu.tools.console",
-             "--port", str(port), "--duration", "20", "--log", log,
-             "--no-color"],
-            capture_output=True, text=True, timeout=60)
+             "--port", str(port), "--duration", "15", "--wait-data", "90",
+             "--log", log, "--no-color"],
+            capture_output=True, text=True, timeout=150)
         assert console.returncode == 0, console.stdout + console.stderr
         # the dashboard rendered live solver data
         assert "speed=" in console.stdout
