@@ -44,6 +44,10 @@ def main(argv=None) -> int:
     ap.add_argument("--bf", action="store_true")
     ap.add_argument("--neural-costmap", action="store_true")
     ap.add_argument("--kernel-rng", action="store_true")
+    ap.add_argument("--obstacles", type=int, default=0, metavar="N",
+                    help="compose ObstacleCost with N live circles (the "
+                         "in-kernel obstacle-term A/B: compare FULL_SOLVE "
+                         "against a run without this flag)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--n", type=int, default=20)
     ap.add_argument("--batches", type=int, default=5)
@@ -69,6 +73,15 @@ def main(argv=None) -> int:
                      kernel_rng=args.kernel_rng)
     solver, params, cp, cm, state = _build(
         cfg, model_kind="bf" if args.bf else "nn")
+    if args.obstacles:
+        # live circles down the track edge — in the inflation band of many
+        # rollouts (so the term does real work) without crashing the swarm
+        from autorally_tpu.costs.obstacles import ObstacleCost, make_obstacles
+
+        circles = [(25.0 + 2.5, 5.0 + 6.0 * i, 0.5)
+                   for i in range(args.obstacles)]
+        solver.cost = ObstacleCost(make_obstacles(circles))
+        cp = cp.replace(obstacles=solver.cost.obstacles)
     if args.neural_costmap:
         from autorally_tpu.costs.neural_costmap import fit_neural_costmap
 

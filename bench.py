@@ -185,8 +185,10 @@ def main():
         # solver's inline fast path applies — shard_map is bypassed, so
         # this should track the headline; a real slice scales K and runs
         # the collectives)
+        # same chain length as the headline so the amortized tunnel
+        # dispatch (~25 ms sync RTT / n) is identical in both numbers
         extra["sharded_K1920_solves_per_sec"] = round(_bench_cfg(
-            cfg, sharded=True, n=12, batches=4), 2)
+            cfg, sharded=True, n=25, batches=6), 2)
         extra["sharded_K_per_device"] = 1920 // n_dev
     except Exception as e:                      # pragma: no cover
         extra["error"] = f"{type(e).__name__}: {e}"
