@@ -80,7 +80,10 @@ def main(argv=None) -> int:
 
         circles = [(25.0 + 2.5, 5.0 + 6.0 * i, 0.5)
                    for i in range(args.obstacles)]
-        solver.cost = ObstacleCost(make_obstacles(circles))
+        # preserve the built cost's l1_cost so the swap changes only the
+        # obstacle terms, not the speed-cost semantics
+        solver.cost = ObstacleCost(make_obstacles(circles),
+                                   l1_cost=solver.cost.l1_cost)
         cp = cp.replace(obstacles=solver.cost.obstacles)
     if args.neural_costmap:
         from autorally_tpu.costs.neural_costmap import fit_neural_costmap
@@ -98,15 +101,19 @@ def main(argv=None) -> int:
         from autorally_tpu.ops.rollout_kernel import (fused_rng_costs,
                                                       fused_rng_numer)
 
+        # thread the solver's obstacle kwargs through so the staged rows
+        # time the same program FULL_SOLVE runs when --obstacles is set
+        obs_kw = solver._obstacle_kwargs(cp)
         p1 = jax.jit(lambda s, U, k: fused_rng_costs(
             solver.model, params, cfg, cp, cm, s, U, k,
             l1_cost=solver.cost.l1_cost,
-            precision=cfg.matmul_precision)[:2])
+            precision=cfg.matmul_precision, **obs_kw)[:2])
         rows["rng_pass1_costs"] = _timeit(p1, state, cs.U, key,
                                           n=args.n, batches=args.batches)
         total, crash, ctx = fused_rng_costs(
             solver.model, params, cfg, cp, cm, state, cs.U, key,
-            l1_cost=solver.cost.l1_cost, precision=cfg.matmul_precision)
+            l1_cost=solver.cost.l1_cost, precision=cfg.matmul_precision,
+            **obs_kw)
 
         @jax.jit
         def softmax_w(total):
