@@ -219,6 +219,184 @@ def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
             sim.communicate()
 
 
+def run_realtime_gate_async(pose_port: int = 47980,
+                            control_port: int = 47981,
+                            hz: int = 50, seconds: float = 3.0,
+                            num_rollouts: int = 1920,
+                            num_timesteps: int = 100,
+                            use_feedback_gains: bool = True,
+                            depth: int = 2,
+                            warmup_iters: int = 12,
+                            attempts: int = 6) -> dict:
+    """Realtime gate over the ASYNC-dispatch loop at the reference
+    operating point (K=1920, T=100) on the default backend (TPU when
+    present).
+
+    The sequential gate above measures the host control stack with a
+    small CPU solve; this one proves the 50 Hz claim end-to-end against
+    the real device.  The async loop (``runtime/async_loop.py``) keeps
+    ``depth`` tube ticks in flight, so the device solve plus this rig's
+    ~25 ms tunnel round-trip hide behind ``depth`` control periods; the
+    per-tick host work is dispatch + harvest(publish) + pacing.  The
+    published solution is ``depth`` periods old, which the plant's
+    interpolation absorbs exactly as the reference's does during a 20 ms
+    solve (``autorally_plant.cpp:215-223``).
+
+    Validity discriminator: as in :func:`run_realtime_gate`, a tick whose
+    wall latency exceeds its CPU backing by more than half the budget was
+    stalled by the host (hypervisor steal / runqueue / page fault) — but
+    here the harvest wait is *device*-bound blocked time that legitimately
+    accrues no CPU, so it is first subtracted from the wall side.  Harvest
+    time still counts against the budget (it is honest stack latency); it
+    is only excluded from the steal test.
+
+    Returns the same dict shape as :func:`run_realtime_gate` plus
+    ``depth``, ``harvest_p50_ms``, ``harvest_p99_ms``.
+    """
+    from autorally_tpu.config import CostParams, MPPIConfig
+    from autorally_tpu.costs import MPPICost
+    from autorally_tpu.costs.costmap import make_costmap
+    from autorally_tpu.models import NeuralNetDynamics
+    from autorally_tpu.runtime.async_loop import (AsyncLoopConfig,
+                                                  AsyncTubeController,
+                                                  run_control_loop_async)
+    from autorally_tpu.runtime.udp_plant import UdpPlant
+    from autorally_tpu.solver.mppi import MPPISolver
+    from autorally_tpu.tools.sim_node import DEFAULT_MODEL
+    from autorally_tpu.tools.track_generator import oval_track
+
+    # build the full stack BEFORE spawning the simulator: device-backend
+    # init rides a tunnel on this rig and the first tube-tick compile is
+    # minutes-scale uncached, so the sim's lifetime budgets for the
+    # warmup compile, not for framework construction
+    cfg = MPPIConfig(num_rollouts=num_rollouts,
+                     num_timesteps=num_timesteps, hz=hz)
+    data, xb, yb = oval_track(ppm=2.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(DEFAULT_MODEL)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    cp = CostParams(desired_speed=4.0)
+    tube = AsyncTubeController(solver, params, cp, cm,
+                               use_feedback_gains=use_feedback_gains)
+
+    duration = seconds * attempts + (warmup_iters + 20) / hz + 420.0
+    sim = subprocess.Popen(
+        [sys.executable, "-m", "autorally_tpu.tools.sim_node",
+         "--cpu", "--hz", str(hz), "--duration", str(duration),
+         "--pose-port", str(pose_port), "--control-port",
+         str(control_port)],
+        env=dict(os.environ), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+
+    plant: Optional[UdpPlant] = None
+    try:
+        plant = UdpPlant(dt=cfg.dt, num_timesteps=cfg.num_timesteps,
+                         pose_port=pose_port, control_port=control_port,
+                         fmt="state",
+                         use_feedback_gains=use_feedback_gains)
+        plant.start()
+        deadline = time.time() + 15
+        while plant.pose_count == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        if plant.pose_count == 0:
+            raise RuntimeError("no poses from the simulator process")
+
+        lcfg = AsyncLoopConfig(hz=cfg.hz,
+                               num_timesteps=cfg.num_timesteps,
+                               depth=depth, realtime=True)
+        # warmup: absorb jit compilation + device-tunnel warm paths
+        lcfg.max_iter = warmup_iters
+        run_control_loop_async(tube, plant, lcfg)
+
+        import gc
+
+        gc.collect()
+        gc.disable()
+        fifo = _try_sched_fifo()
+        budget_ms = 1000.0 / hz
+        target_valid = int(seconds * hz * 1.5)
+        valid = []
+        all_ticks = []
+        harvests = []
+        tainted = 0
+        used = 0
+        timing = None
+        try:
+            lcfg.max_iter = int(seconds * hz)
+            for _ in range(max(1, attempts)):
+                used += 1
+                marks = []
+
+                def on_loop_tick(num_iter):
+                    marks.append((time.monotonic(), time.process_time()))
+
+                t_pre = (time.monotonic(), time.process_time())
+                timing = run_control_loop_async(tube, plant, lcfg,
+                                                on_loop_tick=on_loop_tick)
+                prev = t_pre
+                for i, mark in enumerate(marks):
+                    tick_ms = timing.tick_samples_ms[i]
+                    harvest_ms = timing.harvest_samples_ms[i]
+                    all_ticks.append(tick_ms)
+                    harvests.append(harvest_ms)
+                    cpu_ms = (mark[1] - prev[1]) * 1000.0
+                    prev = mark
+                    # device-blocked harvest time accrues no CPU and is
+                    # not a host stall — subtract it before the steal test
+                    if tick_ms - harvest_ms - cpu_ms > budget_ms / 2.0:
+                        tainted += 1
+                        continue
+                    missed = timing.missed_samples[i]
+                    if missed and tick_ms <= budget_ms:
+                        missed = 0
+                    valid.append((tick_ms, missed))
+                if len(valid) >= target_valid:
+                    break
+        finally:
+            gc.enable()
+            if fifo:
+                _drop_sched_fifo()
+
+        def pct(arr, p):
+            if not arr:
+                return None
+            s = sorted(arr)
+            i = min(len(s) - 1, max(0, int(round(p / 100 * (len(s) - 1)))))
+            return round(s[i], 3)
+
+        vt = [v[0] for v in valid]
+        return {
+            "p50_ms": pct(vt, 50.0),
+            "p99_ms": pct(vt, 99.0),
+            "missed": sum(v[1] for v in valid),
+            "ticks": len(all_ticks),
+            "valid_ticks": len(valid),
+            "tainted_ticks": tainted,
+            "budget_ms": budget_ms,
+            "attempts_used": used,
+            "depth": depth,
+            "num_rollouts": num_rollouts,
+            "num_timesteps": num_timesteps,
+            "harvest_p50_ms": pct(harvests, 50.0),
+            "harvest_p99_ms": pct(harvests, 99.0),
+            "p99_all_ms": pct(all_ticks, 99.0),
+            "raw": timing.as_dict() if timing is not None else {},
+        }
+    finally:
+        if plant is not None:
+            try:
+                plant.stop()
+            except Exception:
+                pass
+        try:
+            sim.terminate()
+            sim.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            sim.kill()
+            sim.communicate()
+
+
 def _try_sched_fifo(prio: int = 10) -> bool:
     """Best-effort SCHED_FIFO for the control thread (Linux applies
     ``sched_setscheduler(0, ...)`` per-thread).  A real deployment runs
@@ -252,14 +430,28 @@ def main(argv=None) -> int:
     ap.add_argument("--hz", type=int, default=50)
     ap.add_argument("--pose-port", type=int, default=47960)
     ap.add_argument("--control-port", type=int, default=47961)
+    ap.add_argument("--async", dest="use_async", action="store_true",
+                    help="async-dispatch loop at K=1920/T=100 on the "
+                         "default backend (the on-TPU 50 Hz proof)")
+    ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--rollouts", type=int, default=1920)
+    ap.add_argument("--timesteps", type=int, default=100)
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    res = run_realtime_gate(pose_port=args.pose_port,
-                            control_port=args.control_port,
-                            hz=args.hz, seconds=args.seconds)
+    if args.use_async:
+        res = run_realtime_gate_async(pose_port=args.pose_port,
+                                      control_port=args.control_port,
+                                      hz=args.hz, seconds=args.seconds,
+                                      num_rollouts=args.rollouts,
+                                      num_timesteps=args.timesteps,
+                                      depth=args.depth)
+    else:
+        res = run_realtime_gate(pose_port=args.pose_port,
+                                control_port=args.control_port,
+                                hz=args.hz, seconds=args.seconds)
     print(json.dumps(res))
     return 0
 

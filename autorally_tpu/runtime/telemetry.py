@@ -48,10 +48,13 @@ class TimingStats:
         self.avg_sleep_ms = 0.0
         self.tick_samples_ms = collections.deque(maxlen=window)
         self.missed_samples = collections.deque(maxlen=window)
+        # device-wait portion of each tick (async loop: time blocked on
+        # the in-flight solve's host copy) — 0.0 for the sync loop
+        self.harvest_samples_ms = collections.deque(maxlen=window)
         self.missed_ticks = 0        # whole deadline periods overrun
 
     def update(self, loop_ms: float, tick_ms: float, sleep_ms: float,
-               missed: int = 0) -> None:
+               missed: int = 0, harvest_ms: float = 0.0) -> None:
         self.num_iter += 1
         n = self.num_iter
         self.avg_loop_ms = (n - 1.0) / n * self.avg_loop_ms + loop_ms / n
@@ -59,6 +62,7 @@ class TimingStats:
         self.avg_sleep_ms = (n - 1.0) / n * self.avg_sleep_ms + sleep_ms / n
         self.tick_samples_ms.append(tick_ms)
         self.missed_samples.append(int(missed))
+        self.harvest_samples_ms.append(harvest_ms)
         self.missed_ticks += int(missed)
 
     def tick_percentile_ms(self, p: float) -> float:
