@@ -42,17 +42,28 @@ from autorally_tpu.parallel.mesh import ROLLOUT_AXIS
 
 def initialize(coordinator: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
+               process_id: Optional[int] = None,
+               initialization_timeout: Optional[float] = None) -> None:
     """Bootstrap the jax.distributed runtime (no-op if single-process or
-    already initialized)."""
+    already initialized).
+
+    ``initialization_timeout``: seconds a non-coordinator process waits
+    for the coordinator before failing (default: jax's, 300 s).
+    """
     if num_processes is None or num_processes <= 1:
         return
-    try:
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
-    except RuntimeError:
-        pass  # already initialized
+    # Idempotent bootstrap: re-init after a successful init is a no-op.
+    # Everything else — bad coordinator address, wrong process count,
+    # called too late — must surface, not silently leave the process
+    # single-host (round-2 advisor finding).
+    if jax.distributed.is_initialized():
+        return
+    kw = {}
+    if initialization_timeout is not None:
+        kw["initialization_timeout"] = int(initialization_timeout)
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id, **kw)
 
 
 def multihost_rollout_mesh() -> Mesh:
