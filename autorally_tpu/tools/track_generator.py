@@ -120,6 +120,142 @@ def spline_track(waypoints=WINDING_WAYPOINTS, track_width: float = 6.0,
     return data, (x_min, x_max), (y_min, y_max)
 
 
+#: Reference CCRF track geometry sources (autorally_description):
+#: the blended ground texture paints the drivable corridor (alpha == 0
+#: where the track surface shows through), the ground plane is 45 x 60 m
+#: (models/blended_track_ccrf/model.sdf), and the world places it at
+#: (-22.5, -18.5) (urdf/worlds/ccrf_track.world).  The barrier mesh
+#: (cad/autoRallyTrackCCRF.dae, world extents x [-41.9, -0.3],
+#: y [-40.6, 5.6]) pins the texture orientation: only the flipped
+#: row-major mapping (row 0 = -y) lands the ribbon on the barriers.
+CCRF_TEXTURE = ("/root/reference/autorally_description/urdf/textures/"
+                "blended_texture_ccrf.png")
+CCRF_PLANE = (45.0, 60.0)
+CCRF_POSE = (-22.5, -18.5)
+
+#: Start pose on the main straight of the CCRF circuit and the lap line
+#: perpendicular to the corridor there (computed from the built map by
+#: ccrf_start(); frozen so lap benchmarks are stable).  One lap = ONE
+#: crossing of this line (the window spans only the corridor width).
+CCRF_START = (-25.55, -7.75, -2.2717)
+CCRF_LAP_LINE = (-0.8438, -29.31, -28.55, -22.55)
+
+
+def ccrf_track(ppm: float = 10.0, margin: float = 8.0,
+               texture_path: str = CCRF_TEXTURE
+               ) -> Tuple[np.ndarray, tuple, tuple]:
+    """Reference-geometry CCRF circuit costmap.
+
+    The reference's real surveyed costmap blobs are stripped from its
+    repo (``params/maps/.MISSING_LARGE_BLOBS``), but the Gazebo world
+    carries the same circuit: ``blended_texture_ccrf.png`` paints the
+    drivable ribbon of Georgia Tech's CCRF track onto the 45 x 60 m
+    ground plane that ``autoRallyTrackCCRFWorld.launch`` spawns.  This
+    reconstructs the costmap from that geometry in the exact reference
+    ``.npz`` convention (``params/maps/README.md``): channel0 = 0 at the
+    track centerline, 1.0 at the boundary, > 1 off-track.
+
+    Centerline normalization is *local*: each on-track pixel's distance
+    to the boundary is scaled by the corridor half-width at the nearest
+    medial-axis point, so 0 means "centerline" on narrow and wide
+    sections alike.  Off-track cost grows as 1 + distance (meters) for a
+    usable gradient, matching :func:`oval_track`.
+
+    Returns ``(data (H, W, 4) float32, x_bounds, y_bounds)`` in the
+    Gazebo world frame (the frame the reference's sim drives in).
+    """
+    from PIL import Image
+    from scipy import ndimage
+    from scipy.spatial import cKDTree
+
+    img = np.array(Image.open(texture_path))
+    if img.ndim != 3 or img.shape[2] != 4:
+        raise ValueError(f"expected RGBA texture, got {img.shape}")
+    # drivable ribbon = transparent texels (track surface shows through);
+    # flip to row-major with +y up — validated against the barrier mesh
+    mask = np.flipud(img[..., 3] < 128)
+    tex_ppm = mask.shape[1] / CCRF_PLANE[0]
+    x00 = CCRF_POSE[0] - CCRF_PLANE[0] / 2.0
+    y00 = CCRF_POSE[1] - CCRF_PLANE[1] / 2.0
+
+    rows, cols = np.where(mask)
+    pad = int(round(margin * tex_ppm))
+    r0 = max(int(rows.min()) - pad, 0)
+    r1 = min(int(rows.max()) + pad, mask.shape[0])
+    c0 = max(int(cols.min()) - pad, 0)
+    c1 = min(int(cols.max()) + pad, mask.shape[1])
+    f = max(1, int(round(tex_ppm / ppm)))
+    r1 -= (r1 - r0) % f
+    c1 -= (c1 - c0) % f
+    m = mask[r0:r1, c0:c1]
+    H, W = m.shape
+    if f > 1:
+        m = m.reshape(H // f, f, W // f, f).mean(axis=(1, 3)) >= 0.5
+    out_ppm = tex_ppm / f
+
+    dt_in = ndimage.distance_transform_edt(m) / out_ppm
+    dt_out = ndimage.distance_transform_edt(~m) / out_ppm
+    # medial axis ~ local maxima of the inside distance field; local
+    # half-width of each pixel = distance at its nearest medial point
+    medial = m & (dt_in >= ndimage.maximum_filter(dt_in, size=3) - 1e-9)
+    mr, mc = np.where(medial)
+    tr, tc = np.where(m)
+    _, nearest = cKDTree(np.stack([mr, mc], 1)).query(
+        np.stack([tr, tc], 1), k=1)
+    local_halfw = np.maximum(dt_in[mr[nearest], mc[nearest]], 1e-3)
+
+    channel0 = (1.0 + dt_out).astype(np.float32)
+    channel0[tr, tc] = np.clip(1.0 - dt_in[tr, tc] / local_halfw,
+                               0.0, 1.0).astype(np.float32)
+    data = np.zeros(m.shape + (4,), dtype=np.float32)
+    data[..., 0] = channel0
+    xb = (x00 + c0 / tex_ppm, x00 + c1 / tex_ppm)
+    yb = (y00 + r0 / tex_ppm, y00 + r1 / tex_ppm)
+    return data, xb, yb
+
+
+def ccrf_start(data: np.ndarray, xb: tuple, yb: tuple,
+               anchor: Tuple[float, float] = (-24.0, -9.0)
+               ) -> Tuple[tuple, tuple]:
+    """Compute a start pose on the CCRF main straight (the long diagonal
+    between the two left-hand bends, nearest ``anchor``) and the
+    perpendicular lap line there (the frozen CCRF_START / CCRF_LAP_LINE
+    values come from this; kept for regeneration at other resolutions).
+
+    Returns ``((x, y, heading), (slope, intercept, x_min, x_max))``.
+    """
+    from scipy import ndimage
+
+    m = data[..., 0] <= 1.0
+    ppm = m.shape[1] / (xb[1] - xb[0])
+    dt = ndimage.distance_transform_edt(m) / ppm
+    ys, xs = np.where(m)
+    wx = xb[0] + (xs + 0.5) / ppm
+    wy = yb[0] + (ys + 0.5) / ppm
+    # deepest on-track pixel within 2 m of the anchor: mid-corridor on
+    # the straight, not the (wider) corners
+    sel = np.hypot(wx - anchor[0], wy - anchor[1]) < 2.0
+    cand = int(np.argmax(np.where(sel, dt[ys, xs], -1.0)))
+    sx, sy = float(wx[cand]), float(wy[cand])
+    # corridor direction = principal axis of nearby deep-interior pixels
+    deep = dt[ys, xs] > 0.6 * np.percentile(dt[ys, xs], 97)
+    near = deep & (np.hypot(wx - sx, wy - sy) < 5.0)
+    pts = np.stack([wx[near], wy[near]], 1)
+    pts -= pts.mean(0)
+    _, _, vt = np.linalg.svd(pts, full_matrices=False)
+    dx, dy = float(vt[0, 0]), float(vt[0, 1])
+    heading = float(np.arctan2(dy, dx))
+    slope = -dx / dy                       # line perpendicular to travel
+    intercept = sy - slope * sx
+    return ((sx, sy, heading),
+            (round(slope, 4), round(intercept, 2), sx - 3.0, sx + 3.0))
+
+
+def make_ccrf_costmap(**kw) -> Costmap:
+    data, xb, yb = ccrf_track(**kw)
+    return make_costmap(data, xb, yb)
+
+
 def make_oval_costmap(**kw) -> Costmap:
     data, xb, yb = oval_track(**kw)
     return make_costmap(data, xb, yb)

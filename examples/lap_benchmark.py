@@ -48,10 +48,13 @@ def main():
     ap.add_argument("--bf", action="store_true",
                     help="basis-function dynamics (path_integral_bf role; "
                          "reference default K=2560)")
-    ap.add_argument("--track", choices=("oval", "winding"), default="oval",
-                    help="'winding' = spline circuit with alternating "
-                         "curves and a hairpin (the CCRF-track role; the "
-                         "reference's real maps are stripped upstream)")
+    ap.add_argument("--track", choices=("oval", "winding", "ccrf"),
+                    default="oval",
+                    help="'winding' = synthetic spline circuit; 'ccrf' = "
+                         "the REAL CCRF circuit geometry reconstructed "
+                         "from the reference's Gazebo world "
+                         "(blended_texture_ccrf.png + barrier mesh) — "
+                         "the path_integral_nn.launch operating point")
     ap.add_argument("--plot", default=None,
                     help="save a costmap + colored-by-speed trajectory "
                          "PNG here")
@@ -77,7 +80,17 @@ def main():
 
     cfg = MPPIConfig(num_rollouts=args.rollouts,
                      num_timesteps=args.timesteps)
-    if args.track == "winding":
+    crossings_per_lap = 2
+    if args.track == "ccrf":
+        from autorally_tpu.tools.track_generator import (CCRF_LAP_LINE,
+                                                         CCRF_START,
+                                                         ccrf_track)
+
+        data, xb, yb = ccrf_track(ppm=10.0)
+        start_pose = CCRF_START
+        lap_line = CCRF_LAP_LINE
+        crossings_per_lap = 1       # the line spans only the corridor
+    elif args.track == "winding":
         from autorally_tpu.tools.track_generator import spline_track
 
         data, xb, yb = spline_track(track_width=6.0, ppm=10.0)
@@ -140,9 +153,14 @@ def main():
             print(f"  crossing {rec.lap_number}: segment {rec.lap_time:.2f}s "
                   f"max_speed={rec.max_speed:.2f} m/s "
                   f"max_slip={rec.max_slip:.3f} rad")
-    # a 'lap' = two crossings of the start line (out and back)
+    # oval/winding: the line is crossed twice per circuit (out and back);
+    # ccrf: the perpendicular start line is crossed once per circuit
     segs = [r.lap_time for r in laps.laps]
-    full_laps = [segs[i] + segs[i + 1] for i in range(0, len(segs) - 1, 2)]
+    if crossings_per_lap == 1:
+        full_laps = segs
+    else:
+        full_laps = [segs[i] + segs[i + 1]
+                     for i in range(0, len(segs) - 1, 2)]
     if full_laps:
         print(f"LAPS: {len(full_laps)}  times: "
               f"{['%.2fs' % t for t in full_laps]}")

@@ -1,0 +1,137 @@
+"""Reference-geometry CCRF track reconstruction tests.
+
+The reference's surveyed costmap blobs are stripped upstream, but its
+Gazebo world carries the same circuit: ``blended_texture_ccrf.png``
+paints the drivable ribbon onto a 45 x 60 m plane placed at
+(-22.5, -18.5) (``urdf/worlds/ccrf_track.world``), and
+``cad/autoRallyTrackCCRF.dae`` holds the barrier walls.  These tests pin
+the reconstruction: frame agreement with the barrier mesh, the
+reference costmap value convention (``params/maps/README.md``), and a
+drivable, solver-consumable map.
+"""
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pytest
+
+TEX = ("/root/reference/autorally_description/urdf/textures/"
+       "blended_texture_ccrf.png")
+DAE = ("/root/reference/autorally_description/urdf/cad/"
+       "autoRallyTrackCCRF.dae")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(TEX) and os.path.exists(DAE)),
+    reason="reference CCRF world assets not mounted")
+
+
+@pytest.fixture(scope="module")
+def ccrf():
+    from autorally_tpu.tools.track_generator import ccrf_track
+
+    data, xb, yb = ccrf_track()
+    return data, xb, yb
+
+
+def test_value_convention(ccrf):
+    """channel0: 0 at the centerline, 1 at the boundary, >1 off-track
+    (params/maps/README.md)."""
+    data, xb, yb = ccrf
+    c0 = data[..., 0]
+    on = c0 <= 1.0
+    assert 0.2 < on.mean() < 0.5          # a ribbon, not a blob
+    assert c0[on].min() == 0.0            # centerline reached
+    assert c0[~on].min() > 1.0            # off-track strictly above 1
+    assert np.isfinite(c0).all()
+    assert data[..., 1:].max() == 0.0     # channels 1-3 zero (README)
+
+
+def test_single_connected_circuit(ccrf):
+    from scipy import ndimage
+
+    data, _, _ = ccrf
+    lab, n = ndimage.label(data[..., 0] <= 1.0)
+    sizes = ndimage.sum(lab > 0, lab, range(1, n + 1))
+    # one dominant closed circuit (the pit-lane notch at the map edge
+    # may separate at raster resolution)
+    assert sizes.max() / sizes.sum() > 0.98
+
+
+def test_frame_matches_barrier_mesh(ccrf):
+    """The drivable ribbon must land on the .dae barrier walls: every
+    barrier vertex (world frame) lies within ~1.5 m of the ribbon edge
+    band."""
+    data, xb, yb = ccrf
+    ns = "{http://www.collada.org/2005/11/COLLADASchema}"
+    root = ET.parse(DAE).getroot()
+    geo = next(root.iter(ns + "geometry"))
+    pos = None
+    for fa in geo.iter(ns + "float_array"):
+        if "positions" in fa.get("id"):
+            pos = np.fromstring(fa.text, sep=" ").reshape(-1, 3)
+    world = pos[:, :2] + np.array([-22.5, -18.5])   # ccrf_track.world pose
+
+    ppm = data.shape[1] / (xb[1] - xb[0])
+    cols = ((world[:, 0] - xb[0]) * ppm).astype(int)
+    rows = ((world[:, 1] - yb[0]) * ppm).astype(int)
+    inb = ((rows >= 0) & (rows < data.shape[0])
+           & (cols >= 0) & (cols < data.shape[1]))
+    assert inb.mean() > 0.99
+    vals = data[rows[inb], cols[inb], 0]
+    # barriers sit at the ribbon edge: cost near 1 (on-track edge) or
+    # just off (1 + small distance); nowhere deep on-track or far off
+    assert np.median(vals) > 0.55
+    assert (vals < 3.0).mean() > 0.95
+
+
+def test_start_pose_on_track(ccrf):
+    from autorally_tpu.tools.track_generator import (CCRF_LAP_LINE,
+                                                     CCRF_START,
+                                                     ccrf_start)
+
+    data, xb, yb = ccrf
+    ppm = data.shape[1] / (xb[1] - xb[0])
+    sx, sy, heading = CCRF_START
+    c = int((sx - xb[0]) * ppm)
+    r = int((sy - yb[0]) * ppm)
+    assert data[r, c, 0] < 0.3            # near the centerline
+    # the frozen constants regenerate from the map
+    start, line = ccrf_start(data, xb, yb)
+    assert abs(start[0] - sx) < 0.5 and abs(start[1] - sy) < 0.5
+    assert abs(line[0] - CCRF_LAP_LINE[0]) < 0.05
+    # lap line is perpendicular to the start heading
+    import math
+    line_dir = np.array([1.0, line[0]])
+    head_dir = np.array([math.cos(heading), math.sin(heading)])
+    cosang = abs(line_dir @ head_dir) / np.linalg.norm(line_dir)
+    assert cosang < 0.05
+
+
+def test_solver_drives_ccrf(ccrf):
+    """One solve from the start pose on the real geometry: finite
+    controls, sane ESS, sub-threshold crash fraction."""
+    import jax
+
+    from autorally_tpu.config import CostParams, MPPIConfig
+    from autorally_tpu.costs import MPPICost
+    from autorally_tpu.costs.costmap import make_costmap
+    from autorally_tpu.models import NeuralNetDynamics
+    from autorally_tpu.solver.mppi import MPPISolver
+    from autorally_tpu.tools.track_generator import CCRF_START
+
+    data, xb, yb = ccrf
+    cm = make_costmap(data, xb, yb)
+    cfg = MPPIConfig(num_rollouts=256, num_timesteps=32)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(
+        "/root/reference/autorally_control/src/path_integral/params/"
+        "models/autorally_nnet_09_12_2018.npz")
+    solver = MPPISolver(model, MPPICost(), cfg)
+    sx, sy, heading = CCRF_START
+    start = np.array([sx, sy, heading, 0, 3.0, 0, 0], dtype=np.float32)
+    cs, stats = solver.solve(params, CostParams(desired_speed=6.0),
+                             cm, start, solver.init_state())
+    assert np.isfinite(np.asarray(cs.U)).all()
+    assert float(stats.ess) > 10.0
+    assert float(stats.crash_frac) < 0.5
