@@ -130,8 +130,15 @@ class BasePlant:
                      world_vel: Tuple[float, float, float],
                      yaw_rate: float) -> Optional[Tuple[float, float]]:
         """Odometry in -> control out (``poseCall``).  Returns the published
-        (steering, throttle) or None if no valid solution yet."""
+        (steering, throttle) or None if no valid solution yet.
+
+        Out-of-order or duplicate poses (possible over UDP; ROS TCP gave
+        the reference ordering for free) are dropped: a regressed
+        ``last_pose_time`` would corrupt the loop's stride computation
+        and the staleness watchdog."""
         with self._lock:
+            if t <= self.last_pose_time:
+                return None
             self.last_pose_time = t
             self.pose_count += 1
             self.activated = True
@@ -148,8 +155,11 @@ class BasePlant:
     def receive_state_vector(self, t: float, s: np.ndarray
                              ) -> Optional[Tuple[float, float]]:
         """Direct 7-state injection (synthetic plants / replays that log the
-        state vector instead of raw odometry)."""
+        state vector instead of raw odometry).  Drops out-of-order /
+        duplicate poses like :meth:`receive_pose`."""
         with self._lock:
+            if t <= self.last_pose_time:
+                return None
             self.last_pose_time = t
             self.pose_count += 1
             self.activated = True

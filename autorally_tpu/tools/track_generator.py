@@ -141,19 +141,31 @@ CCRF_START = (-25.55, -7.75, -2.2717)
 CCRF_LAP_LINE = (-0.8438, -29.31, -28.55, -22.55)
 
 
-def ccrf_track(ppm: float = 10.0, margin: float = 8.0,
-               texture_path: str = CCRF_TEXTURE
-               ) -> Tuple[np.ndarray, tuple, tuple]:
-    """Reference-geometry CCRF circuit costmap.
+#: The Marietta street track (``populated_marietta.world``): same
+#: encoding on a 90 x 90 m plane (``models/blended_track/model.sdf``).
+#: The world yaws the plane 0.785398 rad; the costmap is built in the
+#: plane's local frame (the reference's own Marietta costmap likewise
+#: used a surveyed local frame, ``params/maps/README.md``) — identical
+#: geometry, axis-aligned grid.
+MARIETTA_TEXTURE = ("/root/reference/autorally_description/urdf/textures/"
+                    "blended_texture_marietta.png")
+MARIETTA_START = (-11.745, -1.3275, 1.7876)
+MARIETTA_LAP_LINE = (0.2203, 1.26, -14.745, -8.745)
+
+
+def _texture_track(texture_path: str, plane: Tuple[float, float],
+                   pose: Tuple[float, float], ppm: float, margin: float
+                   ) -> Tuple[np.ndarray, tuple, tuple]:
+    """Drivable-ribbon texture -> reference-convention costmap.
 
     The reference's real surveyed costmap blobs are stripped from its
-    repo (``params/maps/.MISSING_LARGE_BLOBS``), but the Gazebo world
-    carries the same circuit: ``blended_texture_ccrf.png`` paints the
-    drivable ribbon of Georgia Tech's CCRF track onto the 45 x 60 m
-    ground plane that ``autoRallyTrackCCRFWorld.launch`` spawns.  This
-    reconstructs the costmap from that geometry in the exact reference
-    ``.npz`` convention (``params/maps/README.md``): channel0 = 0 at the
-    track centerline, 1.0 at the boundary, > 1 off-track.
+    repo (``params/maps/.MISSING_LARGE_BLOBS``), but its Gazebo worlds
+    carry the same circuits: the blended ground textures paint the
+    drivable ribbon (transparent texels — the track surface shows
+    through) onto known-size ground planes.  This rasterizes that
+    geometry in the exact reference ``.npz`` convention
+    (``params/maps/README.md``): channel0 = 0 at the track centerline,
+    1.0 at the boundary, > 1 off-track.
 
     Centerline normalization is *local*: each on-track pixel's distance
     to the boundary is scaled by the corridor half-width at the nearest
@@ -161,8 +173,7 @@ def ccrf_track(ppm: float = 10.0, margin: float = 8.0,
     sections alike.  Off-track cost grows as 1 + distance (meters) for a
     usable gradient, matching :func:`oval_track`.
 
-    Returns ``(data (H, W, 4) float32, x_bounds, y_bounds)`` in the
-    Gazebo world frame (the frame the reference's sim drives in).
+    Returns ``(data (H, W, 4) float32, x_bounds, y_bounds)``.
     """
     from PIL import Image
     from scipy import ndimage
@@ -171,12 +182,12 @@ def ccrf_track(ppm: float = 10.0, margin: float = 8.0,
     img = np.array(Image.open(texture_path))
     if img.ndim != 3 or img.shape[2] != 4:
         raise ValueError(f"expected RGBA texture, got {img.shape}")
-    # drivable ribbon = transparent texels (track surface shows through);
-    # flip to row-major with +y up — validated against the barrier mesh
+    # flip to row-major with +y up — validated against the CCRF barrier
+    # mesh (only this mapping lands the ribbon on the walls)
     mask = np.flipud(img[..., 3] < 128)
-    tex_ppm = mask.shape[1] / CCRF_PLANE[0]
-    x00 = CCRF_POSE[0] - CCRF_PLANE[0] / 2.0
-    y00 = CCRF_POSE[1] - CCRF_PLANE[1] / 2.0
+    tex_ppm = mask.shape[1] / plane[0]
+    x00 = pose[0] - plane[0] / 2.0
+    y00 = pose[1] - plane[1] / 2.0
 
     rows, cols = np.where(mask)
     pad = int(round(margin * tex_ppm))
@@ -212,6 +223,26 @@ def ccrf_track(ppm: float = 10.0, margin: float = 8.0,
     xb = (x00 + c0 / tex_ppm, x00 + c1 / tex_ppm)
     yb = (y00 + r0 / tex_ppm, y00 + r1 / tex_ppm)
     return data, xb, yb
+
+
+def ccrf_track(ppm: float = 10.0, margin: float = 8.0,
+               texture_path: str = CCRF_TEXTURE
+               ) -> Tuple[np.ndarray, tuple, tuple]:
+    """Reference-geometry CCRF circuit costmap (Gazebo world frame —
+    the frame the reference's sim drives in).  See :func:`_texture_track`
+    for the construction and value convention."""
+    return _texture_track(texture_path, CCRF_PLANE, CCRF_POSE,
+                          ppm, margin)
+
+
+def marietta_track(ppm: float = 10.0, margin: float = 8.0,
+                   texture_path: str = MARIETTA_TEXTURE
+                   ) -> Tuple[np.ndarray, tuple, tuple]:
+    """Reference-geometry Marietta street-track costmap (the
+    ``path_integral_bf.launch`` operating point), in the ground plane's
+    local frame.  See :func:`_texture_track`."""
+    return _texture_track(texture_path, (90.0, 90.0), (0.0, 0.0),
+                          ppm, margin)
 
 
 def ccrf_start(data: np.ndarray, xb: tuple, yb: tuple,
@@ -253,6 +284,11 @@ def ccrf_start(data: np.ndarray, xb: tuple, yb: tuple,
 
 def make_ccrf_costmap(**kw) -> Costmap:
     data, xb, yb = ccrf_track(**kw)
+    return make_costmap(data, xb, yb)
+
+
+def make_marietta_costmap(**kw) -> Costmap:
+    data, xb, yb = marietta_track(**kw)
     return make_costmap(data, xb, yb)
 
 

@@ -48,13 +48,15 @@ def main():
     ap.add_argument("--bf", action="store_true",
                     help="basis-function dynamics (path_integral_bf role; "
                          "reference default K=2560)")
-    ap.add_argument("--track", choices=("oval", "winding", "ccrf"),
+    ap.add_argument("--track",
+                    choices=("oval", "winding", "ccrf", "marietta"),
                     default="oval",
-                    help="'winding' = synthetic spline circuit; 'ccrf' = "
-                         "the REAL CCRF circuit geometry reconstructed "
-                         "from the reference's Gazebo world "
-                         "(blended_texture_ccrf.png + barrier mesh) — "
-                         "the path_integral_nn.launch operating point")
+                    help="'winding' = synthetic spline circuit; 'ccrf' / "
+                         "'marietta' = the REAL circuit geometries "
+                         "reconstructed from the reference's Gazebo "
+                         "worlds (blended ground textures + barrier "
+                         "mesh) — the path_integral_nn.launch and "
+                         "path_integral_bf.launch operating points")
     ap.add_argument("--plot", default=None,
                     help="save a costmap + colored-by-speed trajectory "
                          "PNG here")
@@ -90,6 +92,15 @@ def main():
         start_pose = CCRF_START
         lap_line = CCRF_LAP_LINE
         crossings_per_lap = 1       # the line spans only the corridor
+    elif args.track == "marietta":
+        from autorally_tpu.tools.track_generator import (MARIETTA_LAP_LINE,
+                                                         MARIETTA_START,
+                                                         marietta_track)
+
+        data, xb, yb = marietta_track(ppm=10.0)
+        start_pose = MARIETTA_START
+        lap_line = MARIETTA_LAP_LINE
+        crossings_per_lap = 1
     elif args.track == "winding":
         from autorally_tpu.tools.track_generator import spline_track
 

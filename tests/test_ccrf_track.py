@@ -108,6 +108,28 @@ def test_start_pose_on_track(ccrf):
     assert cosang < 0.05
 
 
+def test_marietta_track():
+    """Marietta oval (path_integral_bf.launch operating point): same
+    value convention, single circuit, frozen start regenerates."""
+    from scipy import ndimage
+
+    from autorally_tpu.tools.track_generator import (MARIETTA_LAP_LINE,
+                                                     MARIETTA_START,
+                                                     ccrf_start,
+                                                     marietta_track)
+
+    data, xb, yb = marietta_track()
+    c0 = data[..., 0]
+    on = c0 <= 1.0
+    assert c0[on].min() == 0.0 and c0[~on].min() > 1.0
+    lab, n = ndimage.label(on)
+    sizes = ndimage.sum(on, lab, range(1, n + 1))
+    assert sizes.max() / sizes.sum() > 0.98
+    start, line = ccrf_start(data, xb, yb, anchor=(-11.5, 0.0))
+    assert abs(start[0] - MARIETTA_START[0]) < 0.5
+    assert abs(line[0] - MARIETTA_LAP_LINE[0]) < 0.05
+
+
 def test_solver_drives_ccrf(ccrf):
     """One solve from the start pose on the real geometry: finite
     controls, sane ESS, sub-threshold crash fraction."""
