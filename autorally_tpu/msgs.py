@@ -329,6 +329,11 @@ def _unpack_value(fmt: str, buf: bytes, off: int):
         if fmt == "s":
             (n,) = struct.unpack_from("<H", buf, off)
             off += 2
+            if off + n > len(buf):
+                # Python slicing would silently clamp a corrupt length
+                # prefix and leave the cursor past the end — fail loudly
+                raise MsgDecodeError(
+                    f"string length {n} overruns buffer")
             return buf[off:off + n].decode(), off + n
         if fmt.endswith("[]"):
             base = _SCALAR[fmt[:-2]]
