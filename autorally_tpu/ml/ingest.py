@@ -67,10 +67,16 @@ class TopicData:
     # -- load/format steps (DataClass.prep_data, preprocess.py:28-72) -------
 
     def format_time_col(self) -> "TopicData":
-        """secs + nsecs/1e9 -> ``time`` (preprocess.py:56-59)."""
+        """secs + nsecs/1e9 combined IN PLACE into ``secs``
+        (preprocess.py:54-59) — the reference's col_mapper then renames
+        ``secs`` to ``time``.  For specs whose mapper doesn't, ``time``
+        is also set directly (the JSONL sim-node topics)."""
         if "secs" in self.df.columns:
-            self.df["time"] = (self.df["secs"]
+            self.df["secs"] = (self.df["secs"]
                                + self.df.get("nsecs", 0) / 1e9)
+            mapped = (self.column_mapper or {}).get("secs")
+            if mapped != "time":
+                self.df["time"] = self.df["secs"]
         return self
 
     def rename_cols(self) -> "TopicData":
@@ -187,10 +193,18 @@ def ingest_log(path: str, topics: Optional[List[dict]] = None,
     merged training table (the trainer.py ``preprocess_data`` phase,
     trainer.py:19-117: per-topic DataClass steps, resample to the first
     topic's rate, column-wise concat)."""
-    import pandas as pd
-
     topics = SIM_NODE_TOPICS if topics is None else topics
-    frames = read_jsonl_topics(path)
+    return run_topic_pipeline(read_jsonl_topics(path), topics, total_data)
+
+
+def run_topic_pipeline(frames: Dict[str, "pd.DataFrame"],
+                       topics: List[dict],
+                       total_data: Optional[float] = None
+                       ) -> "pd.DataFrame":
+    """Per-topic DataFrames -> merged training table (shared by the
+    JSONL path above and the reference-CSV migration path,
+    ``ml/reference_config.py``)."""
+    import pandas as pd
 
     dfs = []
     end_point = None
@@ -198,7 +212,7 @@ def ingest_log(path: str, topics: Optional[List[dict]] = None,
     for spec in topics:
         name = spec["name"]
         if name not in frames:
-            raise ValueError(f"topic '{name}' not present in {path}; "
+            raise ValueError(f"topic '{name}' not present; "
                              f"found {sorted(frames)}")
         td = TopicData(frames[name], spec.get("col_mapper"))
         td.format_time_col().rename_cols()

@@ -74,14 +74,24 @@ def _load_training_table(cfg):
     """Phase-1 data acquisition -> (t, states, controls, inputs, labels).
 
     JSONL drive logs go through the full multi-topic ingest pipeline
-    (``ml/ingest.py``); CSVs are the reference's pre-merged intermediate
-    format and load directly (both are supported like the reference's
-    ``preprocess_data`` toggle vs ``training_data_path``)."""
+    (``ml/ingest.py``); ``reference_csv_dir`` ingests a reference user's
+    per-topic CSVs (their ``process_bag.py`` output) through the same
+    pipeline driven by their own ``config.yml`` topics spec
+    (``ml/reference_config.py``); plain CSVs are the reference's
+    pre-merged intermediate format and load directly."""
+    df = None
     if cfg.get("log_jsonl"):
         from autorally_tpu.ml.ingest import ingest_log
 
         df = ingest_log(cfg["log_jsonl"], topics=cfg.get("topics"),
                         total_data=cfg.get("total_data"))
+    elif cfg.get("reference_csv_dir"):
+        from autorally_tpu.ml.reference_config import ingest_reference_csvs
+
+        df = ingest_reference_csvs(cfg["reference_csv_dir"],
+                                   cfg["topics"],
+                                   total_data=cfg.get("total_data"))
+    if df is not None:
         df.to_csv(os.path.join(cfg["results_dir"], "final_data.csv"),
                   index=False)
         t = df["time"].to_numpy(np.float64)
