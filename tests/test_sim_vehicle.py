@@ -202,6 +202,60 @@ class TestSimVehiclePlant:
         assert track_val < 1.0      # inside the track edge (crash at 0.65+)
         assert not plant.shutdown
 
+    @pytest.mark.parametrize("izz_scale", [0.5, 2.0])
+    def test_inertia_sensitivity(self, izz_scale):
+        """The yaw/roll inertias are documented estimates
+        (sim/vehicle.py: the URDF's token value is non-physical).  The
+        independent-oracle conclusion — MPPI closes the loop against
+        this plant — must not hinge on the guess: at izz x0.5 and x2
+        (with ixx scaled alongside) the closed loop still reaches speed
+        and stays on track."""
+        from autorally_tpu.config import CostParams, MPPIConfig
+        from autorally_tpu.costs.mppi_cost import MPPICost
+        from autorally_tpu.models import NeuralNetDynamics
+        from autorally_tpu.solver.mppi import MPPISolver
+        from autorally_tpu.tools.track_generator import make_oval_costmap
+
+        cfg = MPPIConfig(num_rollouts=256, num_timesteps=48, hz=50,
+                         use_pallas_rollout=False)
+        cost_params = CostParams(desired_speed=4.0, max_slip_ang=0.9)
+        costmap = make_oval_costmap(half_length=30.0, half_width=18.0,
+                                    track_width=8.0)
+        model = NeuralNetDynamics(cfg.dt)
+        params = model.load_params(
+            "/root/reference/autorally_control/src/path_integral/params/"
+            "models/autorally_nnet_09_12_2018.npz")
+        solver = MPPISolver(model, MPPICost(cfg), cfg)
+        cs = solver.init_state()
+
+        vp = VehicleParams().replace(izz=1.2 * izz_scale,
+                                     ixx=0.35 * izz_scale)
+        plant = SimVehiclePlant(
+            np.array([30.0, 0.0, np.pi / 2, 0.0, 0.0, 0.0, 0.0],
+                     dtype=np.float32),
+            cfg.dt, cfg.num_timesteps, params=vp,
+            use_feedback_gains=False)
+        plant.receive_state_vector(0.0, plant.true_state)
+
+        speeds = []
+        for _ in range(240):
+            state = plant.true_state
+            cs, stats = solver.solve(params, cost_params, costmap,
+                                     state, cs)
+            plant.set_solution(np.asarray(cs.state_solution),
+                               np.asarray(cs.control_solution), None,
+                               ts=plant.sim_time)
+            cs = solver.slide(cs, 1)
+            plant.step_sim(1)
+            speeds.append(float(plant.true_state[4]))
+
+        assert max(speeds) > 2.0
+        final = plant.true_state
+        track_val = float(costmap.lookup_ch0(
+            jnp.asarray(final[0]), jnp.asarray(final[1])))
+        assert track_val < 1.0
+        assert not plant.shutdown
+
     def test_wheel_speeds_exposed(self):
         plant = SimVehiclePlant(np.zeros(7, dtype=np.float32), 0.02, 10)
         plant.receive_state_vector(0.0, plant.true_state)
