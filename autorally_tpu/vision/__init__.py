@@ -7,7 +7,12 @@ from autorally_tpu.vision.auto_balance import (AutoBalanceConfig,
                                                luminance_histogram, msv)
 from autorally_tpu.vision.camera_trigger import CameraTrigger
 from autorally_tpu.vision.image_republisher import ImageRepublisher
+from autorally_tpu.vision.overhead import (OverheadClient,
+                                           OverheadDetection,
+                                           OverheadPoseBridge,
+                                           SyntheticOverheadCamera)
 
 __all__ = ["AutoBalanceConfig", "CameraAutoBalance", "SimulatedCamera",
            "luminance_histogram", "msv", "CameraTrigger",
-           "ImageRepublisher"]
+           "ImageRepublisher", "OverheadClient", "OverheadDetection",
+           "OverheadPoseBridge", "SyntheticOverheadCamera"]
