@@ -8,6 +8,13 @@ nominal-trajectory re-rollout, and the slide.  The stage sum exceeds the
 fused full solve (XLA overlaps and fuses across stages there); the value
 is the *ratio* between stages.
 
+On a tunneled accelerator every dispatch pays a host-side enqueue floor
+(~1.3 ms on this rig) that swamps sub-millisecond stages, so the tool
+also measures that floor with a trivial jitted program under the exact
+same timing protocol and reports floor-corrected stage times
+(``stages_corrected_ms`` / the ``-floor`` column) — those are the
+numbers to compare between stages.
+
 Usage::
 
     python -m autorally_tpu.tools.solve_breakdown [--rollouts 1920]
@@ -172,23 +179,39 @@ def main(argv=None) -> int:
     rows["FULL_SOLVE"] = _timeit(full, state, cs,
                                  n=args.n, batches=args.batches)
 
+    # per-dispatch floor: a trivial device program under the identical
+    # protocol — host enqueue + tunnel overhead, no real device work
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    floor = _timeit(jax.jit(lambda x: x + 1.0), tiny,
+                    n=args.n, batches=args.batches)
+
+    corrected = {k: max(v - floor, 0.0) for k, v in rows.items()}
     stage_sum = sum(v for k, v in rows.items() if k != "FULL_SOLVE")
+    csum = sum(v for k, v in corrected.items() if k != "FULL_SOLVE")
     out = {
         "backend": jax.default_backend(),
         "K": K, "T": T,
         "model": "bf" if args.bf else "nn",
         "pallas": bool(solver.use_pallas_rollout),
         "kernel_rng": bool(solver._use_kernel_rng(cm)),
+        "dispatch_floor_ms": round(floor, 4),
         "stages_ms": {k: round(v, 4) for k, v in rows.items()},
+        "stages_corrected_ms": {k: round(v, 4)
+                                for k, v in corrected.items()},
         "stage_sum_ms": round(stage_sum, 4),
+        "corrected_sum_ms": round(csum, 4),
         "fusion_gain": round(stage_sum / rows["FULL_SOLVE"], 2),
     }
     print(json.dumps(out))
     width = max(len(k) for k in rows)
-    for k, v in sorted(rows.items(), key=lambda kv: -kv[1]):
-        frac = v / stage_sum * 100 if k != "FULL_SOLVE" else 0
+    print(f"{'(dispatch floor)':<{width}}  {floor:9.3f} ms",
+          file=sys.stderr)
+    for k, v in sorted(rows.items(), key=lambda kv: -corrected[kv[0]]):
+        c = corrected[k]
+        frac = c / csum * 100 if (k != "FULL_SOLVE" and csum > 0) else 0
         bar = "#" * int(frac / 2)
-        tag = f"{frac:5.1f}% {bar}" if k != "FULL_SOLVE" else "(one program)"
+        tag = (f"-floor {c:7.3f} ms  {frac:5.1f}% {bar}"
+               if k != "FULL_SOLVE" else f"-floor {c:7.3f} ms  (one program)")
         print(f"{k:<{width}}  {v:9.3f} ms  {tag}", file=sys.stderr)
     return 0
 
