@@ -186,14 +186,14 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
     """Pipelined tube-MPPI loop: dispatch tick N, harvest and publish tick
     N-depth, pace to the deadline.
 
-    ``on_tick(num_iter, used, state, harvest_ms, age_s)`` fires once per
-    *harvested* solution (``used`` is "actual"/"predicted", ``age_s`` the
-    solution's pose-anchor age at publish).  ``on_loop_tick(num_iter)``
-    fires once per loop iteration at the end of the tick's work, before
-    pacing (the real-time gate's CPU-bracketing hook).  Returns timing
-    stats whose ``tick_samples_ms`` cover dispatch + harvest + publish
-    (sleep excluded) and whose ``harvest_samples_ms`` isolate the device
-    wait.
+    ``on_tick(num_iter, used, state, out, harvest_ms, age_s)`` fires once
+    per *harvested* solution (``used`` is "actual"/"predicted", ``out``
+    the host-side :class:`TubeTickOutput`, ``age_s`` the solution's
+    pose-anchor age at publish).  ``on_loop_tick(num_iter)`` fires once
+    per loop iteration at the end of the tick's work, before pacing (the
+    real-time gate's CPU-bracketing hook).  Returns timing stats whose
+    ``tick_samples_ms`` cover dispatch + harvest + publish (sleep
+    excluded) and whose ``harvest_samples_ms`` isolate the device wait.
     """
     alive = is_alive or (lambda: True)
     timing = TimingStats() if timing is None else timing
@@ -236,7 +236,7 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
                            gains, t_disp, used)
         if on_tick is not None:
             age = plant.get_last_pose_time() - t_disp
-            on_tick(num_iter, used, state, wait_ms, age)
+            on_tick(num_iter, used, state, out, wait_ms, age)
         return wait_ms
 
     while alive() and num_iter < max_iter and not plant.shutdown:

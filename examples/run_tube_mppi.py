@@ -53,6 +53,14 @@ def main():
                     help="UDP port to accept runstop commands on")
     ap.add_argument("--log", default=None,
                     help="append telemetry records to this JSONL run log")
+    ap.add_argument("--async-loop", action="store_true", dest="async_loop",
+                    help="pipelined async-dispatch loop (the whole tube "
+                         "tick as one device program, `--depth` solves in "
+                         "flight — hides device/tunnel latency behind the "
+                         "control period; runtime/async_loop.py)")
+    ap.add_argument("--depth", type=int, default=1,
+                    help="in-flight solves for --async-loop (2 covers a "
+                         "~25 ms tunnel sync at 50 Hz)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -184,13 +192,43 @@ def main():
                   f"speed={state[4]:5.2f} using={used:9s} "
                   f"monitor={diag['level']}")
 
-    lcfg = ControlLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
-                             optimization_stride=cfg.optimization_stride,
-                             use_feedback_gains=cfg.use_feedback_gains,
-                             max_iter=args.ticks)
-    timing = run_control_loop(predicted, actual, plant, lcfg,
-                              monitor=monitor, on_tick=on_tick,
-                              timing=timing)
+    if args.async_loop:
+        from autorally_tpu.runtime.async_loop import (
+            AsyncLoopConfig, AsyncTubeController, run_control_loop_async)
+
+        tube = AsyncTubeController(
+            solver, params_m, cost_params, cm,
+            use_feedback_gains=cfg.use_feedback_gains)
+
+        class _Shim:
+            """Adapt the async hook to the sync on_tick consumers (the
+            bus publishes ess/crash from the harvested TubeTickOutput)."""
+            def __init__(self, out):
+                self.stats = out
+
+            def get_computed_trajectory_cost(self):
+                return float(self.stats.trajectory_cost)
+
+        def on_tick_async(num_iter, used, state, out, harvest_ms, age_s):
+            on_tick(num_iter, _Shim(out), used, state)
+
+        alcfg = AsyncLoopConfig(hz=cfg.hz,
+                                num_timesteps=cfg.num_timesteps,
+                                optimization_stride=cfg.optimization_stride,
+                                depth=args.depth, realtime=False,
+                                max_iter=args.ticks)
+        timing = run_control_loop_async(tube, plant, alcfg,
+                                        monitor=monitor,
+                                        on_tick=on_tick_async,
+                                        timing=timing)
+    else:
+        lcfg = ControlLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
+                                 optimization_stride=cfg.optimization_stride,
+                                 use_feedback_gains=cfg.use_feedback_gains,
+                                 max_iter=args.ticks)
+        timing = run_control_loop(predicted, actual, plant, lcfg,
+                                  monitor=monitor, on_tick=on_tick,
+                                  timing=timing)
     if bus is not None:
         bus.publish("timing", {**timing.as_dict(), "budget_ms": budget_ms})
         bus.close()

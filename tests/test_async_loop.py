@@ -69,7 +69,7 @@ def test_publication_lags_by_depth():
     tube, plant, cfg = _build()
     ages = []
 
-    def on_tick(num_iter, used, state, harvest_ms, age_s):
+    def on_tick(num_iter, used, state, out, harvest_ms, age_s):
         ages.append((num_iter, age_s))
 
     lcfg = AsyncLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
@@ -88,7 +88,7 @@ def test_hot_updates_ride_next_dispatch():
     new_cp = CostParams(desired_speed=1.0)
     hit = []
 
-    def on_tick(num_iter, used, state, harvest_ms, age_s):
+    def on_tick(num_iter, used, state, out, harvest_ms, age_s):
         if len(hit) == 0 and num_iter == 10:
             plant.push_cost_params(new_cp)
             hit.append(num_iter)
@@ -116,7 +116,7 @@ def test_drain_leaves_freshest_solution():
     tube, plant, cfg = _build()
     seen = []
 
-    def on_tick(num_iter, used, state, harvest_ms, age_s):
+    def on_tick(num_iter, used, state, out, harvest_ms, age_s):
         seen.append(num_iter)
 
     lcfg = AsyncLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
