@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Optional
 
-from autorally_tpu.ml.ingest import TopicData, run_topic_pipeline
+from autorally_tpu.ml.ingest import run_topic_pipeline
 
 
 def load_reference_config(path: str) -> dict:

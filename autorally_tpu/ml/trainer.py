@@ -88,6 +88,11 @@ def _load_training_table(cfg):
     elif cfg.get("reference_csv_dir"):
         from autorally_tpu.ml.reference_config import ingest_reference_csvs
 
+        if not cfg.get("topics"):
+            raise ValueError(
+                "reference_csv_dir requires a 'topics:' spec (the one "
+                "from the reference config.yml — see "
+                "ml/reference_config.load_reference_config)")
         df = ingest_reference_csvs(cfg["reference_csv_dir"],
                                    cfg["topics"],
                                    total_data=cfg.get("total_data"))

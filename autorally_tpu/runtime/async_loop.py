@@ -263,7 +263,10 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
         if status != 0:
             stride = stride_default
         if not (0 <= stride < cfg.num_timesteps):
-            stride = stride_default
+            # out-of-range pose jump: skip the slide entirely, matching
+            # the sequential loop (control_loop.py stride guard);
+            # _slide(cs, 0) is the identity
+            stride = 0
 
         out_dev = tube.dispatch(state, stride)
         inflight.append((t_pose, out_dev))
@@ -272,7 +275,8 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
         while len(inflight) > depth:
             harvest_ms += harvest()
 
-        status = plant.check_status(plant.get_last_pose_time())
+        status = (plant.check_status_wall() if cfg.realtime
+                  else plant.check_status(plant.get_last_pose_time()))
         if monitor is not None:
             monitor.heartbeat(plant.get_last_pose_time(), status,
                               f"inflight={len(inflight)}")

@@ -143,7 +143,11 @@ def run_control_loop(predicted: Controller, actual: Controller,
         plant.set_solution(chosen.get_state_seq(), chosen.get_control_seq(),
                            gains, last_pose_time, used)
 
-        status = plant.check_status(plant.get_last_pose_time())
+        # realtime: staleness against the receive-side wall clock (pose
+        # stamps ride the producer's clock); lockstep: the pose stream
+        # advances with the loop, so pose-time staleness is the check
+        status = (plant.check_status_wall() if cfg.realtime
+                  else plant.check_status(plant.get_last_pose_time()))
         if monitor is not None:
             monitor.heartbeat(plant.get_last_pose_time(), status,
                               f"controller={used}")

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import threading
+import time
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -71,6 +72,7 @@ class BasePlant:
         self._lock = threading.RLock()
         self.full_state = FullState()
         self.last_pose_time: float = -1.0
+        self.last_pose_mono: float = -1.0   # receive-side wall clock
         self.pose_count = 0
         self.activated = False
         self.runstop = False
@@ -140,6 +142,7 @@ class BasePlant:
             if t <= self.last_pose_time:
                 return None
             self.last_pose_time = t
+            self.last_pose_mono = time.monotonic()
             self.pose_count += 1
             self.activated = True
             fs = self.full_state
@@ -161,6 +164,7 @@ class BasePlant:
             if t <= self.last_pose_time:
                 return None
             self.last_pose_time = t
+            self.last_pose_mono = time.monotonic()
             self.pose_count += 1
             self.activated = True
             fs = self.full_state
@@ -246,11 +250,29 @@ class BasePlant:
             return self.last_pose_time
 
     def check_status(self, now: float) -> int:
+        """Status against ``now`` on the POSE-STAMP clock (the caller
+        supplies a time comparable to the producer's stamps — lockstep
+        sims and replays, where producer and consumer share a clock)."""
         with self._lock:
             if not self.activated:
                 return 1          # not activated yet
             if now - self.last_pose_time > TIMEOUT:
                 return 2          # stale pose
+            return 0
+
+    def check_status_wall(self) -> int:
+        """Status against the RECEIVE-side wall clock — the realtime
+        loops' staleness check.  Pose stamps come from the producer's
+        clock (e.g. the sim node's sim-time over UDP), which need not be
+        comparable to this host's; what a live deployment can actually
+        observe is how long ago the last pose *arrived*
+        (checkStatus, autorally_plant.cpp:443-459, where ros::Time::now()
+        and the stamps share a clock — here they don't)."""
+        with self._lock:
+            if not self.activated:
+                return 1
+            if time.monotonic() - self.last_pose_mono > TIMEOUT:
+                return 2
             return 0
 
     def set_runstop(self, engaged: bool) -> None:

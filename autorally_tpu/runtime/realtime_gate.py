@@ -24,6 +24,96 @@ import time
 from typing import Optional
 
 
+def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
+                     ) -> dict:
+    """Shared measurement harness for both gates: up to ``attempts``
+    passes with the Python cyclic GC parked (a collection pause is 10+ ms
+    of stop-the-world; refcounting still reclaims) and best-effort
+    SCHED_FIFO, pooling validity-discriminated per-tick samples until
+    ``seconds * hz * 1.5`` valid ticks accumulate.
+
+    ``run_pass(hook)`` runs one pass of ``seconds * hz`` loop ticks,
+    calling ``hook()`` once per tick AFTER the tick's work (so
+    consecutive (monotonic, process_time) marks bracket the previous
+    pace-sleep + this tick), and returns the pass's
+    :class:`~autorally_tpu.runtime.telemetry.TimingStats`.
+
+    The CPU-backing discriminator: the tick's work is CPU-bound and
+    never blocks — except time blocked on a device harvest, which the
+    loop records in ``harvest_samples_ms`` (always 0 for the sequential
+    loop) and which is subtracted from the wall side first.  A tick whose
+    remaining wall latency exceeds the CPU the whole process burned in
+    the bracketing window by more than half the budget was stalled by
+    the host — hypervisor steal, runqueue wait, page faults, and
+    whole-VM pauses all show up as wall-without-CPU, because a preempted
+    or blocked vCPU accrues no cputime.  Such ticks are *void*: the
+    stall would have hit any code.  A loop that systematically overruns
+    burns real CPU in its slow ticks, so those stay valid.  Paced misses
+    count only when the tick's own work overran the period (a late wake
+    from the absolute-deadline sleep is not the sleeping thread's
+    fault).
+
+    Returns {valid: [(tick_ms, missed)], all_ticks, harvests, tainted,
+    used, timing}.
+    """
+    import gc
+
+    gc.collect()
+    gc.disable()
+    fifo = _try_sched_fifo()
+    budget_ms = 1000.0 / hz
+    target_valid = int(seconds * hz * 1.5)
+    valid = []
+    all_ticks = []
+    harvests = []
+    tainted = 0
+    used = 0
+    timing = None
+    try:
+        for _ in range(max(1, attempts)):
+            used += 1
+            marks = []
+
+            def hook(*_args):
+                marks.append((time.monotonic(), time.process_time()))
+
+            t_pre = (time.monotonic(), time.process_time())
+            timing = run_pass(hook)
+            prev = t_pre
+            for i, mark in enumerate(marks):
+                tick_ms = timing.tick_samples_ms[i]
+                harvest_ms = (timing.harvest_samples_ms[i]
+                              if i < len(timing.harvest_samples_ms)
+                              else 0.0)
+                all_ticks.append(tick_ms)
+                harvests.append(harvest_ms)
+                cpu_ms = (mark[1] - prev[1]) * 1000.0
+                prev = mark
+                if tick_ms - harvest_ms - cpu_ms > budget_ms / 2.0:
+                    tainted += 1
+                    continue
+                missed = timing.missed_samples[i]
+                if missed and tick_ms <= budget_ms:
+                    missed = 0
+                valid.append((tick_ms, missed))
+            if len(valid) >= target_valid:
+                break
+    finally:
+        gc.enable()
+        if fifo:
+            _drop_sched_fifo()
+    return {"valid": valid, "all_ticks": all_ticks, "harvests": harvests,
+            "tainted": tainted, "used": used, "timing": timing}
+
+
+def _pct(samples, p: float):
+    from autorally_tpu.runtime.telemetry import _nearest_rank
+
+    if not samples:
+        return None
+    return round(_nearest_rank(sorted(samples), p), 3)
+
+
 def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
                       hz: int = 50, seconds: float = 3.0,
                       num_rollouts: int = 64, num_timesteps: int = 16,
@@ -118,91 +208,25 @@ def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
         # warmup: absorb jit compilation outside the measured window
         lcfg.max_iter = warmup_iters
         run_control_loop(predicted, actual, plant, lcfg)
-        # measured pass(es), with the Python cyclic GC parked: a
-        # collection pause is 10+ ms of stop-the-world, which a real-time
-        # deployment disables on the control thread (refcounting still
-        # reclaims), and best-effort SCHED_FIFO on the control thread
-        import gc
 
-        gc.collect()
-        gc.disable()
-        fifo = _try_sched_fifo()
-        budget_ms = 1000.0 / hz
-        target_valid = int(seconds * hz * 1.5)
-        valid = []                  # (tick_ms, missed) over valid ticks
-        all_ticks = []              # every tick_ms, uncensored
-        tainted = 0
-        used = 0
-        timing = None
-        try:
-            lcfg.max_iter = int(seconds * hz)
-            for _ in range(max(1, attempts)):
-                used += 1
-                # per-tick CPU sampling, on the control thread itself:
-                # the hook runs after the tick's work, so consecutive
-                # samples bracket (previous pace-sleep + this tick)
-                marks = []
+        lcfg.max_iter = int(seconds * hz)
+        res = _measured_passes(
+            lambda hook: run_control_loop(predicted, actual, plant, lcfg,
+                                          on_tick=hook),
+            hz, seconds, attempts)
 
-                def on_tick(num_iter, chosen, used_ctrl, state):
-                    marks.append((time.monotonic(), time.process_time()))
-
-                t_pre = (time.monotonic(), time.process_time())
-                timing = run_control_loop(predicted, actual, plant, lcfg,
-                                          on_tick=on_tick)
-                prev = t_pre
-                for i, mark in enumerate(marks):
-                    tick_ms = timing.tick_samples_ms[i]
-                    all_ticks.append(tick_ms)
-                    # the tick's work is CPU-backed (jitted solves +
-                    # host glue; nothing in the tick blocks): if its
-                    # wall latency exceeds the CPU the whole process
-                    # burned in the bracketing window by more than half
-                    # the budget, the host stalled us — hypervisor
-                    # steal, runqueue wait, page fault, or a whole-VM
-                    # pause all show up as wall-without-CPU, since a
-                    # preempted/blocked vCPU accrues no cputime
-                    cpu_ms = (mark[1] - prev[1]) * 1000.0
-                    prev = mark
-                    if tick_ms - cpu_ms > budget_ms / 2.0:
-                        tainted += 1
-                        continue
-                    # a paced miss with the work inside budget is a
-                    # late wake from the absolute-deadline sleep — the
-                    # thread had nothing to run, so only the host can
-                    # be late; count a miss only when the work itself
-                    # overran the period
-                    missed = timing.missed_samples[i]
-                    if missed and tick_ms <= budget_ms:
-                        missed = 0
-                    valid.append((tick_ms, missed))
-                if len(valid) >= target_valid:
-                    break
-        finally:
-            gc.enable()
-            if fifo:
-                _drop_sched_fifo()
-
-        vt = sorted(v[0] for v in valid)
-
-        def pct(p):
-            if not vt:
-                return None
-            i = min(len(vt) - 1, max(0, int(round(p / 100 * (len(vt) - 1)))))
-            return round(vt[i], 3)
-
-        at = sorted(all_ticks)
+        vt = [v[0] for v in res["valid"]]
+        timing = res["timing"]
         return {
-            "p50_ms": pct(50.0),
-            "p99_ms": pct(99.0),
-            "missed": sum(v[1] for v in valid),
-            "ticks": len(all_ticks),
-            "valid_ticks": len(valid),
-            "tainted_ticks": tainted,
-            "budget_ms": budget_ms,
-            "attempts_used": used,
-            "p99_all_ms": (round(at[min(len(at) - 1,
-                                        int(round(0.99 * (len(at) - 1))))], 3)
-                           if at else None),
+            "p50_ms": _pct(vt, 50.0),
+            "p99_ms": _pct(vt, 99.0),
+            "missed": sum(v[1] for v in res["valid"]),
+            "ticks": len(res["all_ticks"]),
+            "valid_ticks": len(res["valid"]),
+            "tainted_ticks": res["tainted"],
+            "budget_ms": 1000.0 / hz,
+            "attempts_used": res["used"],
+            "p99_all_ms": _pct(res["all_ticks"], 99.0),
             "raw": timing.as_dict() if timing is not None else {},
         }
     finally:
@@ -309,78 +333,29 @@ def run_realtime_gate_async(pose_port: int = 47980,
         lcfg.max_iter = warmup_iters
         run_control_loop_async(tube, plant, lcfg)
 
-        import gc
+        lcfg.max_iter = int(seconds * hz)
+        res = _measured_passes(
+            lambda hook: run_control_loop_async(tube, plant, lcfg,
+                                                on_loop_tick=hook),
+            hz, seconds, attempts)
 
-        gc.collect()
-        gc.disable()
-        fifo = _try_sched_fifo()
-        budget_ms = 1000.0 / hz
-        target_valid = int(seconds * hz * 1.5)
-        valid = []
-        all_ticks = []
-        harvests = []
-        tainted = 0
-        used = 0
-        timing = None
-        try:
-            lcfg.max_iter = int(seconds * hz)
-            for _ in range(max(1, attempts)):
-                used += 1
-                marks = []
-
-                def on_loop_tick(num_iter):
-                    marks.append((time.monotonic(), time.process_time()))
-
-                t_pre = (time.monotonic(), time.process_time())
-                timing = run_control_loop_async(tube, plant, lcfg,
-                                                on_loop_tick=on_loop_tick)
-                prev = t_pre
-                for i, mark in enumerate(marks):
-                    tick_ms = timing.tick_samples_ms[i]
-                    harvest_ms = timing.harvest_samples_ms[i]
-                    all_ticks.append(tick_ms)
-                    harvests.append(harvest_ms)
-                    cpu_ms = (mark[1] - prev[1]) * 1000.0
-                    prev = mark
-                    # device-blocked harvest time accrues no CPU and is
-                    # not a host stall — subtract it before the steal test
-                    if tick_ms - harvest_ms - cpu_ms > budget_ms / 2.0:
-                        tainted += 1
-                        continue
-                    missed = timing.missed_samples[i]
-                    if missed and tick_ms <= budget_ms:
-                        missed = 0
-                    valid.append((tick_ms, missed))
-                if len(valid) >= target_valid:
-                    break
-        finally:
-            gc.enable()
-            if fifo:
-                _drop_sched_fifo()
-
-        def pct(arr, p):
-            if not arr:
-                return None
-            s = sorted(arr)
-            i = min(len(s) - 1, max(0, int(round(p / 100 * (len(s) - 1)))))
-            return round(s[i], 3)
-
-        vt = [v[0] for v in valid]
+        vt = [v[0] for v in res["valid"]]
+        timing = res["timing"]
         return {
-            "p50_ms": pct(vt, 50.0),
-            "p99_ms": pct(vt, 99.0),
-            "missed": sum(v[1] for v in valid),
-            "ticks": len(all_ticks),
-            "valid_ticks": len(valid),
-            "tainted_ticks": tainted,
-            "budget_ms": budget_ms,
-            "attempts_used": used,
+            "p50_ms": _pct(vt, 50.0),
+            "p99_ms": _pct(vt, 99.0),
+            "missed": sum(v[1] for v in res["valid"]),
+            "ticks": len(res["all_ticks"]),
+            "valid_ticks": len(res["valid"]),
+            "tainted_ticks": res["tainted"],
+            "budget_ms": 1000.0 / hz,
+            "attempts_used": res["used"],
             "depth": depth,
             "num_rollouts": num_rollouts,
             "num_timesteps": num_timesteps,
-            "harvest_p50_ms": pct(harvests, 50.0),
-            "harvest_p99_ms": pct(harvests, 99.0),
-            "p99_all_ms": pct(all_ticks, 99.0),
+            "harvest_p50_ms": _pct(res["harvests"], 50.0),
+            "harvest_p99_ms": _pct(res["harvests"], 99.0),
+            "p99_all_ms": _pct(res["all_ticks"], 99.0),
             "raw": timing.as_dict() if timing is not None else {},
         }
     finally:

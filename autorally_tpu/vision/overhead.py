@@ -156,12 +156,17 @@ class OverheadPoseBridge:
     ``plant.receive_state_vector`` for a live ground-truth pose source,
     or leave it unset and use :meth:`log_jsonl` to write the multi-topic
     JSONL rows the ML ingest pipeline consumes (the rig's
-    data-collection role)."""
+    data-collection role).
+
+    ``collect_rows``: keep JSONL rows in memory for :meth:`log_jsonl`
+    (default).  Disable for long-lived live-pose use with no logging, or
+    the row list grows without bound at camera rate."""
 
     def __init__(self, on_state: Optional[Callable] = None,
-                 smooth: float = 0.5):
+                 smooth: float = 0.5, collect_rows: bool = True):
         self.on_state = on_state
         self.smooth = float(smooth)          # EMA factor on velocities
+        self.collect_rows = bool(collect_rows)
         self._prev: Optional[OverheadDetection] = None
         self._vel = np.zeros(3)              # vx_w, vy_w, yaw_rate
         self.rows: List[dict] = []
@@ -186,6 +191,10 @@ class OverheadPoseBridge:
         u_y = -s * self._vel[0] + c * self._vel[1]
         state = np.array([x, y, yaw, 0.0, u_x, u_y, -self._vel[2]],
                          dtype=np.float32)
+        if not self.collect_rows:
+            if self.on_state is not None:
+                self.on_state(det.t_capture, state)
+            return state
         self.rows.append({
             "topic": "/overhead/state", "secs": int(det.t_capture),
             "nsecs": int((det.t_capture % 1.0) * 1e9),

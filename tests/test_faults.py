@@ -216,6 +216,26 @@ def test_pose_dropout_degrades_status_and_watchdog():
         1.1 + StatusMonitor.TIMEOUT + 0.01)["level"] == "error"
 
 
+def test_wall_clock_staleness_for_realtime_loops():
+    """Realtime loops must detect a dead pose stream by RECEIVE-side
+    wall time: pose stamps ride the producer's clock (the sim node's
+    sim-time over UDP), so comparing them to themselves
+    (check_status(get_last_pose_time())) can never go stale — the bug
+    the round-3 review caught in both deployment loops."""
+    from autorally_tpu.runtime.plant import TIMEOUT, BasePlant
+
+    plant = BasePlant(dt=0.02, num_timesteps=16)
+    assert plant.check_status_wall() == 1          # not activated
+    # producer clock is unrelated to this host's wall clock
+    plant.receive_state_vector(5000.0, np.zeros(7, np.float32))
+    assert plant.check_status_wall() == 0          # just arrived
+    # the self-comparison that the loops used to do never degrades:
+    assert plant.check_status(plant.get_last_pose_time()) == 0
+    # the stream dies: rewind the receive stamp past the timeout
+    plant.last_pose_mono -= TIMEOUT + 0.01
+    assert plant.check_status_wall() == 2          # stale detected
+
+
 def test_interpolation_refuses_outside_horizon():
     """A solution older than the horizon must publish nothing (the
     interpolation window check, autorally_plant.cpp:215-223) rather than
