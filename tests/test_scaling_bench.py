@@ -28,7 +28,7 @@ def scaling():
     # *lowers* measured efficiency), so retry and keep the best run —
     # a shard_map body that secretly serializes fails every attempt.
     best = None
-    for _ in range(3):
+    for _ in range(4):
         out = subprocess.run(
             [sys.executable, "-m", "autorally_tpu.tools.scaling_bench",
              "--virtual", "4", "--devices", "1,4", "--mode", "both",
