@@ -53,8 +53,13 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
     from the absolute-deadline sleep is not the sleeping thread's
     fault).
 
-    Returns {valid: [(tick_ms, missed)], all_ticks, harvests, tainted,
-    used, timing}.
+    Returns {valid: [(tick_ms, missed)], all_ticks, harvests, net_ticks,
+    tainted, used, timing, attempts} — ``net_ticks`` are tick latencies
+    minus the device-blocked harvest wait (the host stack's own work —
+    what a host-attached accelerator without this rig's tunnel would
+    see), ``attempts`` per-pass summaries (tunnel/host weather varies by
+    the minute; the best attempt is the existence proof, the pool the
+    typical picture).
     """
     import gc
 
@@ -66,6 +71,8 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
     valid = []
     all_ticks = []
     harvests = []
+    net_ticks = []
+    per_attempt = []
     tainted = 0
     used = 0
     timing = None
@@ -80,6 +87,7 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
             t_pre = (time.monotonic(), time.process_time())
             timing = run_pass(hook)
             prev = t_pre
+            a_valid = []
             for i, mark in enumerate(marks):
                 tick_ms = timing.tick_samples_ms[i]
                 harvest_ms = (timing.harvest_samples_ms[i]
@@ -87,6 +95,7 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
                               else 0.0)
                 all_ticks.append(tick_ms)
                 harvests.append(harvest_ms)
+                net_ticks.append(max(0.0, tick_ms - harvest_ms))
                 cpu_ms = (mark[1] - prev[1]) * 1000.0
                 prev = mark
                 if tick_ms - harvest_ms - cpu_ms > budget_ms / 2.0:
@@ -96,6 +105,12 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
                 if missed and tick_ms <= budget_ms:
                     missed = 0
                 valid.append((tick_ms, missed))
+                a_valid.append((tick_ms, missed))
+            per_attempt.append({
+                "p99_ms": _pct([v[0] for v in a_valid], 99.0),
+                "missed": sum(v[1] for v in a_valid),
+                "valid_ticks": len(a_valid),
+            })
             if len(valid) >= target_valid:
                 break
     finally:
@@ -103,7 +118,8 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
         if fifo:
             _drop_sched_fifo()
     return {"valid": valid, "all_ticks": all_ticks, "harvests": harvests,
-            "tainted": tainted, "used": used, "timing": timing}
+            "net_ticks": net_ticks, "tainted": tainted, "used": used,
+            "timing": timing, "attempts": per_attempt}
 
 
 def _pct(samples, p: float):
@@ -355,6 +371,15 @@ def run_realtime_gate_async(pose_port: int = 47980,
             "num_timesteps": num_timesteps,
             "harvest_p50_ms": _pct(res["harvests"], 50.0),
             "harvest_p99_ms": _pct(res["harvests"], 99.0),
+            # the host stack's own per-tick work, net of the device/
+            # tunnel wait — what a host-attached accelerator would see
+            "p99_net_ms": _pct(res["net_ticks"], 99.0),
+            # per-pass summaries: the tunnel's RTT jitter varies minute
+            # to minute; the best attempt is the existence proof
+            "attempts": res["attempts"],
+            "best_attempt_p99_ms": min(
+                (a["p99_ms"] for a in res["attempts"]
+                 if a["p99_ms"] is not None), default=None),
             "p99_all_ms": _pct(res["all_ticks"], 99.0),
             "raw": timing.as_dict() if timing is not None else {},
         }

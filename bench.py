@@ -264,7 +264,8 @@ def main():
                                         seconds=3.0, depth=2)
         for k in ("p50_ms", "p99_ms", "missed", "valid_ticks",
                   "tainted_ticks", "p99_all_ms", "depth",
-                  "harvest_p99_ms"):
+                  "harvest_p99_ms", "p99_net_ms",
+                  "best_attempt_p99_ms"):
             extra[f"realtime_async_{k}"] = agate[k]
     except Exception as e:                      # pragma: no cover
         extra["realtime_async_gate_error"] = f"{type(e).__name__}: {e}"
