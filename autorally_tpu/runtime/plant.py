@@ -74,6 +74,7 @@ class BasePlant:
         self.last_pose_time: float = -1.0
         self.last_pose_mono: float = -1.0   # receive-side wall clock
         self.pose_count = 0
+        self.dropped_poses = 0              # out-of-order/duplicate drops
         self.activated = False
         self.runstop = False
         self.shutdown = False
@@ -137,9 +138,13 @@ class BasePlant:
         Out-of-order or duplicate poses (possible over UDP; ROS TCP gave
         the reference ordering for free) are dropped: a regressed
         ``last_pose_time`` would corrupt the loop's stride computation
-        and the staleness watchdog."""
+        and the staleness watchdog.  Drops are counted in
+        ``dropped_poses`` (surfaced by :meth:`pose_stream_diagnostic`);
+        a pose source that restarts with a reset clock must call
+        :meth:`reset_pose_clock` or every new pose is time-regressed."""
         with self._lock:
             if t <= self.last_pose_time:
+                self.dropped_poses += 1
                 return None
             self.last_pose_time = t
             self.last_pose_mono = time.monotonic()
@@ -162,6 +167,7 @@ class BasePlant:
         duplicate poses like :meth:`receive_pose`."""
         with self._lock:
             if t <= self.last_pose_time:
+                self.dropped_poses += 1
                 return None
             self.last_pose_time = t
             self.last_pose_mono = time.monotonic()
@@ -278,6 +284,41 @@ class BasePlant:
     def set_runstop(self, engaged: bool) -> None:
         with self._lock:
             self.runstop = engaged
+
+    # -- pose-stream observability / recovery ----------------------------------
+
+    def reset_pose_clock(self) -> None:
+        """Accept a pose source whose clock restarted (looped replay, sim
+        restart): clear the monotonic-pose guard and heading unwrap so the
+        next pose is taken at face value.  Without this, a time-regressed
+        stream is silently dropped forever (round-3 advisor finding) —
+        the drops are at least counted in ``dropped_poses``."""
+        with self._lock:
+            self.last_pose_time = -1.0
+            self.last_pose_mono = -1.0
+            self.activated = False
+            self._unwrap = HeadingUnwrapper()
+
+    def pose_stream_diagnostic(self) -> dict:
+        """-> {'level', 'message', 'dropped', 'received'} for the
+        diagnostics rollup: WARN once out-of-order/duplicate drops appear,
+        ERROR when the stream is dropping more than it delivers (the
+        reset-clock signature)."""
+        with self._lock:
+            dropped, received = self.dropped_poses, self.pose_count
+        if dropped == 0:
+            level, msg = "ok", f"{received} poses"
+        elif dropped < max(1, received):
+            level = "warn"
+            msg = (f"{dropped} out-of-order/duplicate poses dropped "
+                   f"({received} accepted)")
+        else:
+            level = "error"
+            msg = (f"pose stream mostly time-regressed: {dropped} dropped"
+                   f" vs {received} accepted — source clock reset? "
+                   "(call reset_pose_clock())")
+        return {"level": level, "message": msg,
+                "dropped": dropped, "received": received}
 
 
 class SyntheticPlant(BasePlant):

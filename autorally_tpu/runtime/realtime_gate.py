@@ -54,12 +54,18 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
     fault).
 
     Returns {valid: [(tick_ms, missed)], all_ticks, harvests, net_ticks,
-    tainted, used, timing, attempts} — ``net_ticks`` are tick latencies
-    minus the device-blocked harvest wait (the host stack's own work —
-    what a host-attached accelerator without this rig's tunnel would
-    see), ``attempts`` per-pass summaries (tunnel/host weather varies by
-    the minute; the best attempt is the existence proof, the pool the
-    typical picture).
+    tainted, used, timing, attempts, missed_raw} — ``net_ticks`` are tick
+    latencies minus the device-blocked harvest wait (the host stack's own
+    work — what a host-attached accelerator without this rig's tunnel
+    would see), ``attempts`` per-pass summaries (tunnel/host weather
+    varies by the minute; the best attempt is the existence proof, the
+    pool the typical picture).  ``missed_raw`` is the UNCENSORED
+    wall-clock deadline-miss count over every tick — tainted ticks
+    included, paced late-wakes included — while the per-tick ``missed``
+    values are censored to misses *attributable to the stack* (a tick
+    whose own work fit the budget cannot have caused the pacer's late
+    wake).  Gate consumers should check both: ``missed == 0`` grades the
+    stack; ``missed_raw`` tells the truth about the wall clock.
     """
     import gc
 
@@ -75,6 +81,7 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
     per_attempt = []
     tainted = 0
     used = 0
+    missed_raw = 0
     timing = None
     try:
         for _ in range(max(1, attempts)):
@@ -88,6 +95,7 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
             timing = run_pass(hook)
             prev = t_pre
             a_valid = []
+            a_missed_raw = 0
             for i, mark in enumerate(marks):
                 tick_ms = timing.tick_samples_ms[i]
                 harvest_ms = (timing.harvest_samples_ms[i]
@@ -96,6 +104,7 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
                 all_ticks.append(tick_ms)
                 harvests.append(harvest_ms)
                 net_ticks.append(max(0.0, tick_ms - harvest_ms))
+                a_missed_raw += int(timing.missed_samples[i])
                 cpu_ms = (mark[1] - prev[1]) * 1000.0
                 prev = mark
                 if tick_ms - harvest_ms - cpu_ms > budget_ms / 2.0:
@@ -106,9 +115,11 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
                     missed = 0
                 valid.append((tick_ms, missed))
                 a_valid.append((tick_ms, missed))
+            missed_raw += a_missed_raw
             per_attempt.append({
                 "p99_ms": _pct([v[0] for v in a_valid], 99.0),
                 "missed": sum(v[1] for v in a_valid),
+                "missed_raw": a_missed_raw,
                 "valid_ticks": len(a_valid),
             })
             if len(valid) >= target_valid:
@@ -119,7 +130,8 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
             _drop_sched_fifo()
     return {"valid": valid, "all_ticks": all_ticks, "harvests": harvests,
             "net_ticks": net_ticks, "tainted": tainted, "used": used,
-            "timing": timing, "attempts": per_attempt}
+            "timing": timing, "attempts": per_attempt,
+            "missed_raw": missed_raw}
 
 
 def _pct(samples, p: float):
@@ -166,11 +178,18 @@ def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
     Returns a dict with ``p50_ms``/``p99_ms``/``missed`` (over valid
     ticks), ``ticks`` (total measured), ``valid_ticks``,
     ``tainted_ticks``, ``budget_ms``, ``attempts_used``, ``p99_all_ms``
-    (uncensored, for reference) plus the last pass's raw
-    :class:`TimingStats` dict under ``raw``.  Callers should gate only
-    when ``valid_ticks`` is large enough to carry a p99 (the test uses
-    >= 100).  Raises ``RuntimeError`` if the simulator process produces
-    no poses.
+    and ``missed_raw`` (both UNCENSORED, over every tick) plus the last
+    pass's raw :class:`TimingStats` dict under ``raw``.  ``missed``
+    means *misses attributable to the stack*: host-stalled ticks are
+    voided and a paced late-wake is not charged to a tick whose own work
+    fit the budget; ``missed_raw`` counts every wall-clock deadline
+    overrun regardless of cause.  Gate consumers should require BOTH —
+    ``missed == 0`` (the stack holds its budget) and a ``missed_raw``
+    bound whenever the host was quiet (``tainted_ticks == 0`` implies
+    the two can only differ by paced late wakes).  Callers should gate
+    only when ``valid_ticks`` is large enough to carry a p99 (the test
+    uses >= 100).  Raises ``RuntimeError`` if the simulator process
+    produces no poses.
     """
     from autorally_tpu.config import CostParams, MPPIConfig
     from autorally_tpu.costs import MPPICost
@@ -237,6 +256,7 @@ def run_realtime_gate(pose_port: int = 47960, control_port: int = 47961,
             "p50_ms": _pct(vt, 50.0),
             "p99_ms": _pct(vt, 99.0),
             "missed": sum(v[1] for v in res["valid"]),
+            "missed_raw": res["missed_raw"],
             "ticks": len(res["all_ticks"]),
             "valid_ticks": len(res["valid"]),
             "tainted_ticks": res["tainted"],
@@ -361,6 +381,7 @@ def run_realtime_gate_async(pose_port: int = 47980,
             "p50_ms": _pct(vt, 50.0),
             "p99_ms": _pct(vt, 99.0),
             "missed": sum(v[1] for v in res["valid"]),
+            "missed_raw": res["missed_raw"],
             "ticks": len(res["all_ticks"]),
             "valid_ticks": len(res["valid"]),
             "tainted_ticks": res["tainted"],

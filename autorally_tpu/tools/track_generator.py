@@ -186,6 +186,17 @@ def _texture_track(texture_path: str, plane: Tuple[float, float],
     # mesh (only this mapping lands the ribbon on the walls)
     mask = np.flipud(img[..., 3] < 128)
     tex_ppm = mask.shape[1] / plane[0]
+    # everything below (crop pad, decimation factor, distance transforms,
+    # medial-axis KD queries) works in a single pixels-per-meter scale;
+    # an anisotropic texture would silently skew the geometry, so demand
+    # isotropy up front (both vendored textures are isotropic: 1200x900
+    # on 60x45 m and 4000x4000 on 90x90 m)
+    tex_ppm_y = mask.shape[0] / plane[1]
+    if abs(tex_ppm_y - tex_ppm) > 1e-3 * tex_ppm:
+        raise ValueError(
+            f"anisotropic texture: {tex_ppm:.4f} px/m in x vs "
+            f"{tex_ppm_y:.4f} px/m in y for {texture_path!r}; "
+            "resample the texture to square pixels first")
     x00 = pose[0] - plane[0] / 2.0
     y00 = pose[1] - plane[1] / 2.0
 

@@ -195,12 +195,16 @@ class OverheadPoseBridge:
             if self.on_state is not None:
                 self.on_state(det.t_capture, state)
             return state
+        # yaw_mder = -yaw_rate, the PLANT convention (plant.py:152,
+        # autorally_plant.cpp:212) — the same column sim_node.py logs, so
+        # a model trained from bridge logs sees the same sign as the live
+        # state[6] it is deployed against (round-3 advisor finding).
         self.rows.append({
             "topic": "/overhead/state", "secs": int(det.t_capture),
             "nsecs": int((det.t_capture % 1.0) * 1e9),
             "x_pos": x, "y_pos": y, "yaw": yaw, "roll": 0.0,
             "u_x": float(u_x), "u_y": float(u_y),
-            "yaw_der": float(self._vel[2]),
+            "yaw_mder": float(-self._vel[2]),
         })
         if self.on_state is not None:
             self.on_state(det.t_capture, state)

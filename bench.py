@@ -103,6 +103,23 @@ def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6,
     return rate
 
 
+def _fit_chain_sweep(chain_rows: dict) -> dict:
+    """Least-squares fit of t(n) = t_solve + sync/n over the measured
+    chain lengths; clamped at >= 0 with a degeneracy flag (batch jitter
+    can push the unconstrained fit negative — round-3 advisor finding).
+    ``chain_rows``: {n: {"solves_per_sec": r}}."""
+    ns = np.array(sorted(chain_rows), dtype=float)
+    ts = np.array([1000.0 / chain_rows[int(n)]["solves_per_sec"]
+                   for n in ns])
+    A = np.stack([np.ones_like(ns), 1.0 / ns], axis=1)
+    (t_solve, sync_ms), *_ = np.linalg.lstsq(A, ts, rcond=None)
+    return {
+        "fit_degenerate": bool(t_solve < 0.0 or sync_ms < 0.0),
+        "fit_device_ms_per_solve": round(max(0.0, float(t_solve)), 4),
+        "fit_tunnel_sync_ms": round(max(0.0, float(sync_ms)), 2),
+    }
+
+
 def _backend_alive(timeout_s: float = 240.0, retries: int = 3) -> bool:
     """Probe device init in a subprocess so a hung accelerator tunnel
     cannot hang the bench itself (observed: ``jax.devices()`` blocking
@@ -161,13 +178,9 @@ def main():
     extra = {"devices": n_dev,
              "headline_chain_len": 200,
              "chain_sweep": {str(k): v for k, v in chain_rows.items()}}
-    # fit t(n) = t_solve + sync/n over the two longest chains: the pure
-    # device per-solve time and the per-invocation tunnel constant
-    t100 = 1000.0 / chain_rows[100]["solves_per_sec"]
-    t200 = 1000.0 / chain_rows[200]["solves_per_sec"]
-    sync_ms = (t100 - t200) * 200.0
-    extra["fit_device_ms_per_solve"] = round(t200 - sync_ms / 200.0, 4)
-    extra["fit_tunnel_sync_ms"] = round(sync_ms, 2)
+    # fit t(n) = t_solve + sync/n over ALL measured chain lengths: the
+    # pure device per-solve time and the per-invocation tunnel constant
+    extra.update(_fit_chain_sweep(chain_rows))
     try:
         # same config, one host dispatch per solve (includes tunnel RTT)
         extra["wall_dispatch_solves_per_sec"] = round(_bench_cfg(
@@ -243,6 +256,9 @@ def main():
         extra["realtime_tick_p50_ms"] = gate["p50_ms"]
         extra["realtime_tick_p99_ms"] = gate["p99_ms"]
         extra["realtime_missed_ticks"] = gate["missed"]
+        # uncensored wall-clock deadline misses (every tick, tainted
+        # included) — `missed` above is stack-attributable only
+        extra["realtime_missed_raw"] = gate["missed_raw"]
         extra["realtime_budget_ms"] = gate["budget_ms"]
         extra["realtime_valid_ticks"] = gate["valid_ticks"]
         extra["realtime_tainted_ticks"] = gate["tainted_ticks"]
@@ -262,8 +278,8 @@ def main():
         agate = run_realtime_gate_async(pose_port=47990,
                                         control_port=47991,
                                         seconds=3.0, depth=2)
-        for k in ("p50_ms", "p99_ms", "missed", "valid_ticks",
-                  "tainted_ticks", "p99_all_ms", "depth",
+        for k in ("p50_ms", "p99_ms", "missed", "missed_raw",
+                  "valid_ticks", "tainted_ticks", "p99_all_ms", "depth",
                   "harvest_p99_ms", "p99_net_ms",
                   "best_attempt_p99_ms"):
             extra[f"realtime_async_{k}"] = agate[k]

@@ -34,6 +34,28 @@ def ccrf():
     return data, xb, yb
 
 
+def test_anisotropic_texture_rejected(tmp_path):
+    """A texture whose px/m differs between axes would silently skew the
+    track geometry (round-3 advisor finding) — must raise, not skew."""
+    from PIL import Image
+
+    from autorally_tpu.tools.track_generator import _texture_track
+
+    img = np.zeros((100, 300, 4), dtype=np.uint8)  # 100x300 px
+    img[40:60, 50:250, 3] = 0                       # a drivable ribbon
+    img[:40, :, 3] = 255
+    img[60:, :, 3] = 255
+    p = str(tmp_path / "aniso.png")
+    Image.fromarray(img, "RGBA").save(p)
+    # plane 10 x 10 m: 30 px/m in x vs 10 px/m in y -> anisotropic
+    with pytest.raises(ValueError, match="anisotropic"):
+        _texture_track(p, (10.0, 10.0), (0.0, 0.0), ppm=2.0, margin=1.0)
+    # square pixels pass (30 px/m both axes on a 10 x (10/3) m plane)
+    data, xb, yb = _texture_track(p, (10.0, 100.0 / 30.0), (0.0, 0.0),
+                                  ppm=2.0, margin=1.0)
+    assert data.ndim == 3 and data.shape[2] == 4
+
+
 def test_value_convention(ccrf):
     """channel0: 0 at the centerline, 1 at the boundary, >1 off-track
     (params/maps/README.md)."""

@@ -162,6 +162,40 @@ def test_plant_survives_drop_duplicate_reorder():
     assert plant.pose_count == fresh       # dups/reorders dropped
     assert published == fresh              # every fresh pose published
     assert not plant.shutdown
+    # the drops are observable, not silent (round-3 advisor finding)
+    assert plant.dropped_poses == len(sent) - fresh
+    diag = plant.pose_stream_diagnostic()
+    assert diag["dropped"] == len(sent) - fresh
+    assert diag["level"] in ("ok", "warn")
+
+
+def test_reset_pose_clock_recovers_restarted_source():
+    """A pose source that restarts with a reset clock (looped replay,
+    sim restart) would be silently muted by the monotonic-pose guard;
+    the diagnostic surfaces it and reset_pose_clock() recovers
+    (round-3 advisor finding)."""
+    from autorally_tpu.runtime.plant import BasePlant
+
+    plant = BasePlant(dt=0.02, num_timesteps=16)
+    for i in range(20):
+        plant.receive_state_vector(10.0 + 0.02 * i,
+                                   np.zeros(7, np.float32))
+    assert plant.pose_count == 20 and plant.dropped_poses == 0
+
+    # the source restarts at t=0: every pose is time-regressed
+    for i in range(30):
+        assert plant.receive_state_vector(0.02 * i,
+                                          np.zeros(7, np.float32)) is None
+    assert plant.pose_count == 20
+    assert plant.dropped_poses == 30
+    assert plant.pose_stream_diagnostic()["level"] == "error"
+
+    # recovery: clear the pose clock, the stream flows again
+    plant.reset_pose_clock()
+    for i in range(10):
+        plant.receive_state_vector(0.02 * i, np.zeros(7, np.float32))
+    assert plant.pose_count == 30
+    assert plant.get_last_pose_time() == pytest.approx(0.18)
 
 
 def test_udp_plant_reorder_over_real_sockets():

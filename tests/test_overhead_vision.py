@@ -90,6 +90,36 @@ def test_pose_bridge_velocities_and_ingest(tmp_path):
     assert {"x_pos", "y_pos", "yaw", "u_x"} <= set(df.columns)
 
 
+def test_yaw_mder_convention_log_matches_live_state(tmp_path):
+    """Round-3 advisor finding: the bridge's JSONL log and its live state
+    vector must agree on the heading-rate sign.  A turning vehicle's
+    logged ``yaw_mder`` (the ML feature column, ingest's default spec)
+    must equal the live ``state[6]`` the plant deploys the model against
+    — same column name and sign as ``tools/sim_node.py`` logs."""
+    live_states = []
+    bridge = OverheadPoseBridge(
+        smooth=0.0, on_state=lambda t, s: live_states.append((t, s.copy())))
+    omega = 1.5                                   # rad/s, constant turn
+    for i in range(40):
+        t = i * 0.02
+        bridge.push(OverheadDetection(0, t, 0, x_mm=0.0, y_mm=0.0,
+                                      orientation=omega * t))
+    log = str(tmp_path / "turn.jsonl")
+    bridge.log_jsonl(log)
+
+    from autorally_tpu.ml.ingest import read_jsonl_topics
+
+    df = read_jsonl_topics(log)["/overhead/state"]
+    assert "yaw_mder" in df.columns               # the ingest feature name
+    logged = df["yaw_mder"].to_numpy()
+    live = np.array([s[6] for _, s in live_states])
+    # one row per pushed detection, identical values (plant convention:
+    # yaw_mder = -yaw_rate, so a positive turn logs/live as ~-1.5)
+    assert len(logged) == len(live)
+    np.testing.assert_allclose(logged, live, rtol=0, atol=1e-6)
+    assert logged[-1] == pytest.approx(-omega, abs=0.05)
+
+
 def test_bridge_feeds_plant_as_pose_source():
     """Detections drive the plant pipeline directly — the rig as a live
     ground-truth pose source."""

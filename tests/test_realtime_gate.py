@@ -59,3 +59,15 @@ def test_realtime_loop_holds_50hz_budget():
     # the 20 ms period and zero missed deadlines.
     assert res["p99_ms"] < res["budget_ms"], res
     assert res["missed"] == 0, res
+    # Both counters are reported and both gate: `missed` is
+    # stack-attributable (censored), `missed_raw` every wall-clock
+    # overrun.  A loop that actually misses deadlines cannot hide in the
+    # censoring: on a quiet host (no tainted ticks) the raw count must
+    # be zero; on a noisy one each raw miss needs a host stall to blame
+    # (tainted work window or a sleep-phase stall — allow a couple of
+    # the latter, which never taint because a preempted sleeper burns
+    # neither CPU nor tick time).
+    if res["tainted_ticks"] == 0:
+        assert res["missed_raw"] == 0, res
+    else:
+        assert res["missed_raw"] <= res["tainted_ticks"] + 2, res
