@@ -169,9 +169,26 @@ class AsyncLoopConfig:
     hz: int = 50
     num_timesteps: int = 100
     optimization_stride: int = 1
-    depth: int = 1                 # in-flight solves before harvest
+    depth: int = 1                 # (initial) in-flight solves before harvest
     max_iter: Optional[int] = None
     realtime: bool = True          # False: lockstep vs a step_sim plant
+    # Adaptive pipeline depth (realtime loops only).  A fixed depth must be
+    # hand-sized to the device's dispatch->ready latency: too shallow and
+    # harvest waits leak into tick latency when the latency spikes (this
+    # rig's tunnel sync RTT varies 23-35 ms minute to minute); too deep and
+    # the published solution is needlessly stale.  With adaptive_depth the
+    # loop grows ``depth`` (up to ``max_depth``) after ``grow_after``
+    # consecutive ticks whose harvest blocked for more than a quarter
+    # period, and shrinks it after ``shrink_after_s`` seconds of
+    # back-to-back non-blocking harvests — but never below the highest
+    # depth it ever had to grow *to* (one oscillation per level at most:
+    # stability beats freshness for a control loop).  The learned depth is
+    # written back to ``cfg.depth`` at loop exit so a warmup pass teaches
+    # the measured passes.
+    adaptive_depth: bool = False
+    max_depth: int = 4
+    grow_after: int = 3
+    shrink_after_s: float = 5.0
 
 
 def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
@@ -200,6 +217,17 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
     stride_default = cfg.optimization_stride
     period = stride_default / cfg.hz
     depth = max(1, int(cfg.depth))
+    # adaptive-depth state (see AsyncLoopConfig): realtime loops only —
+    # lockstep harvests never block, so there is nothing to adapt to
+    adapt = bool(cfg.adaptive_depth) and cfg.realtime
+    max_depth = max(depth, int(cfg.max_depth))
+    blocked_thresh_ms = period * 1000.0 / 4.0
+    shrink_after = max(1, int(round(cfg.shrink_after_s * cfg.hz)))
+    blocked_run = 0
+    early_run = 0
+    shrink_floor = 1               # highest depth a grow was forced to
+    depth_max_seen = depth
+    depth_changes: list = []
 
     state = plant.get_state().to_vector()
     tube.reset(state)
@@ -272,8 +300,34 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
         inflight.append((t_pose, out_dev))
 
         harvest_ms = 0.0
+        harvested = len(inflight) > depth
         while len(inflight) > depth:
             harvest_ms += harvest()
+
+        if adapt and harvested:
+            if harvest_ms > blocked_thresh_ms:
+                blocked_run += 1
+                early_run = 0
+            else:
+                early_run += 1
+                blocked_run = 0
+            if blocked_run >= cfg.grow_after and depth < max_depth:
+                # the device/tunnel is consistently slower than the
+                # pipeline covers: deepen it (the next tick simply skips
+                # its harvest, letting the queue grow by one)
+                depth += 1
+                shrink_floor = max(shrink_floor, depth)
+                depth_max_seen = max(depth_max_seen, depth)
+                depth_changes.append((num_iter, depth))
+                blocked_run = 0
+            elif early_run >= shrink_after and depth > shrink_floor:
+                # sustained non-blocking harvests: trade pipeline slack
+                # for a fresher published solution (next tick harvests
+                # twice; if that was premature, the grow path recovers
+                # and shrink_floor pins this level)
+                depth -= 1
+                depth_changes.append((num_iter, depth))
+                early_run = 0
 
         status = (plant.check_status_wall() if cfg.realtime
                   else plant.check_status(plant.get_last_pose_time()))
@@ -309,4 +363,11 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
 
     while inflight:                  # drain: leave the freshest solution
         harvest()
+    # depth telemetry (ad-hoc attributes: only the async loop has them)
+    timing.async_depth_initial = max(1, int(cfg.depth))
+    timing.async_depth_final = depth
+    timing.async_depth_max = depth_max_seen
+    timing.async_depth_changes = depth_changes
+    if adapt:
+        cfg.depth = depth            # teach the next pass (see config doc)
     return timing

@@ -286,6 +286,7 @@ def run_realtime_gate_async(pose_port: int = 47980,
                             num_timesteps: int = 100,
                             use_feedback_gains: bool = True,
                             depth: int = 2,
+                            adaptive_depth: bool = True,
                             warmup_iters: int = 12,
                             attempts: int = 6) -> dict:
     """Realtime gate over the ASYNC-dispatch loop at the reference
@@ -301,6 +302,13 @@ def run_realtime_gate_async(pose_port: int = 47980,
     published solution is ``depth`` periods old, which the plant's
     interpolation absorbs exactly as the reference's does during a 20 ms
     solve (``autorally_plant.cpp:215-223``).
+
+    With ``adaptive_depth`` (default) the loop auto-sizes the pipeline to
+    the *measured* dispatch->ready latency: the warmup pass learns the
+    depth (written back into the shared loop config) and the measured
+    passes keep adapting if the tunnel's RTT drifts mid-run — a fixed
+    ``depth`` sized for a quiet tunnel leaks harvest waits into tick
+    latency the minute the RTT spikes past ``depth`` periods.
 
     Validity discriminator: as in :func:`run_realtime_gate`, a tick whose
     wall latency exceeds its CPU backing by more than half the budget was
@@ -364,7 +372,8 @@ def run_realtime_gate_async(pose_port: int = 47980,
 
         lcfg = AsyncLoopConfig(hz=cfg.hz,
                                num_timesteps=cfg.num_timesteps,
-                               depth=depth, realtime=True)
+                               depth=depth, realtime=True,
+                               adaptive_depth=adaptive_depth)
         # warmup: absorb jit compilation + device-tunnel warm paths
         lcfg.max_iter = warmup_iters
         run_control_loop_async(tube, plant, lcfg)
@@ -388,6 +397,9 @@ def run_realtime_gate_async(pose_port: int = 47980,
             "budget_ms": 1000.0 / hz,
             "attempts_used": res["used"],
             "depth": depth,
+            "adaptive_depth": adaptive_depth,
+            "depth_final": getattr(timing, "async_depth_final", depth),
+            "depth_max": getattr(timing, "async_depth_max", depth),
             "num_rollouts": num_rollouts,
             "num_timesteps": num_timesteps,
             "harvest_p50_ms": _pct(res["harvests"], 50.0),
@@ -455,6 +467,8 @@ def main(argv=None) -> int:
                     help="async-dispatch loop at K=1920/T=100 on the "
                          "default backend (the on-TPU 50 Hz proof)")
     ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--fixed-depth", action="store_true",
+                    help="disable adaptive pipeline depth")
     ap.add_argument("--rollouts", type=int, default=1920)
     ap.add_argument("--timesteps", type=int, default=100)
     args = ap.parse_args(argv)
@@ -468,7 +482,8 @@ def main(argv=None) -> int:
                                       hz=args.hz, seconds=args.seconds,
                                       num_rollouts=args.rollouts,
                                       num_timesteps=args.timesteps,
-                                      depth=args.depth)
+                                      depth=args.depth,
+                                      adaptive_depth=not args.fixed_depth)
     else:
         res = run_realtime_gate(pose_port=args.pose_port,
                                 control_port=args.control_port,

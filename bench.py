@@ -275,11 +275,16 @@ def main():
         from autorally_tpu.runtime.realtime_gate import \
             run_realtime_gate_async
 
+        # depth starts at 2 (the quiet-tunnel size) and adapts to the
+        # measured dispatch->ready latency — a fixed depth leaks harvest
+        # waits into tick latency whenever the tunnel RTT spikes past it
         agate = run_realtime_gate_async(pose_port=47990,
                                         control_port=47991,
-                                        seconds=3.0, depth=2)
+                                        seconds=3.0, depth=2,
+                                        adaptive_depth=True)
         for k in ("p50_ms", "p99_ms", "missed", "missed_raw",
                   "valid_ticks", "tainted_ticks", "p99_all_ms", "depth",
+                  "depth_final", "depth_max",
                   "harvest_p99_ms", "p99_net_ms",
                   "best_attempt_p99_ms"):
             extra[f"realtime_async_{k}"] = agate[k]

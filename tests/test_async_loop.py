@@ -8,6 +8,8 @@ updates must ride the next dispatch, and the drain must leave the
 freshest solution published.
 """
 
+import time
+
 import numpy as np
 import pytest
 
@@ -17,8 +19,9 @@ from autorally_tpu.costs.costmap import make_costmap
 from autorally_tpu.models import NeuralNetDynamics
 from autorally_tpu.runtime.async_loop import (AsyncLoopConfig,
                                               AsyncTubeController,
+                                              TubeTickOutput,
                                               run_control_loop_async)
-from autorally_tpu.runtime.plant import SyntheticPlant
+from autorally_tpu.runtime.plant import BasePlant, SyntheticPlant
 from autorally_tpu.solver.mppi import MPPISolver
 from autorally_tpu.tools.track_generator import oval_track
 
@@ -110,6 +113,119 @@ def test_feedback_gains_published():
     assert plant.feedback_gains is not None
     assert plant.feedback_gains.shape == (cfg.num_timesteps, 2, 7)
     assert np.isfinite(plant.feedback_gains).all()
+
+
+class _SlowLeaf:
+    """Device-array stand-in whose host copy 'lands' at a fixed wall time
+    — emulates a dispatch->ready latency without a device."""
+
+    def __init__(self, value, ready_t):
+        self._v = np.asarray(value)
+        self._ready = ready_t
+
+    def copy_to_host_async(self):
+        pass
+
+    def __array__(self, dtype=None, copy=None):
+        now = time.perf_counter()
+        if now < self._ready:
+            time.sleep(self._ready - now)
+        v = self._v if dtype is None else self._v.astype(dtype)
+        return np.array(v) if copy else v
+
+
+class _FakeTube:
+    """AsyncTubeController duck type with a configurable solve latency."""
+
+    use_feedback_gains = False
+
+    def __init__(self, T, latency_s):
+        self.T = T
+        self.latency_s = latency_s
+
+    def reset(self, state):
+        pass
+
+    def update_cost_params(self, cp):
+        pass
+
+    def update_costmap(self, cm):
+        pass
+
+    def update_model_params(self, mp):
+        pass
+
+    def dispatch(self, state, stride):
+        ready = time.perf_counter() + self.latency_s
+        leaf = lambda v: _SlowLeaf(v, ready)
+        return TubeTickOutput(
+            control_solution=leaf(np.zeros((self.T, 2), np.float32)),
+            state_solution=leaf(np.zeros((self.T, 7), np.float32)),
+            feedback_gains=None,
+            use_actual=leaf(np.bool_(True)),
+            trajectory_cost=leaf(np.float32(1.0)),
+            ess=leaf(np.float32(32.0)),
+            crash_frac=leaf(np.float32(0.0)))
+
+
+def _fake_rig(latency_s, T=16):
+    tube = _FakeTube(T, latency_s)
+    plant = BasePlant(dt=0.005, num_timesteps=T, use_feedback_gains=False)
+    plant.receive_state_vector(0.0, np.zeros(7, np.float32))
+    return tube, plant
+
+
+def test_adaptive_depth_grows_to_cover_latency():
+    # 26 ms dispatch->ready latency at a 10 ms period: a depth-1 pipeline
+    # blocks ~16 ms per harvest; the loop must deepen to 3 (30 ms of
+    # pipeline cover), after which harvests stop blocking
+    tube, plant = _fake_rig(latency_s=0.026)
+    lcfg = AsyncLoopConfig(hz=100, num_timesteps=16, depth=1,
+                           realtime=True, adaptive_depth=True,
+                           max_depth=6, max_iter=200)
+    timing = run_control_loop_async(tube, plant, lcfg)
+    assert timing.async_depth_final == 3
+    assert timing.async_depth_max == 3
+    # once adapted, harvests are non-blocking (tail of the run)
+    tail = list(timing.harvest_samples_ms)[-50:]
+    assert np.median(tail) < 2.5
+    # the learned depth is written back for the next pass
+    assert lcfg.depth == 3
+
+
+def test_adaptive_depth_respects_max_depth():
+    # latency needs depth 5, cap at 2: growth stops at the cap
+    tube, plant = _fake_rig(latency_s=0.045)
+    lcfg = AsyncLoopConfig(hz=100, num_timesteps=16, depth=1,
+                           realtime=True, adaptive_depth=True,
+                           max_depth=2, max_iter=60)
+    timing = run_control_loop_async(tube, plant, lcfg)
+    assert timing.async_depth_final == 2
+
+
+def test_adaptive_depth_shrinks_when_device_is_early():
+    # 0.5 ms latency at a 10 ms period: an initial depth of 3 publishes
+    # needlessly stale solutions; the loop shrinks to 1
+    tube, plant = _fake_rig(latency_s=0.0005)
+    lcfg = AsyncLoopConfig(hz=100, num_timesteps=16, depth=3,
+                           realtime=True, adaptive_depth=True,
+                           shrink_after_s=0.05, max_iter=100)
+    timing = run_control_loop_async(tube, plant, lcfg)
+    assert timing.async_depth_final == 1
+    assert [d for _, d in timing.async_depth_changes] == [2, 1]
+
+
+def test_adaptive_depth_off_by_default_and_in_lockstep():
+    # fixed-depth behavior is unchanged unless opted in; lockstep loops
+    # never adapt (harvests cannot block)
+    tube, plant, cfg = _build()
+    lcfg = AsyncLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
+                           depth=2, realtime=False, adaptive_depth=True,
+                           max_iter=30)
+    timing = run_control_loop_async(tube, plant, lcfg)
+    assert timing.async_depth_final == 2
+    assert timing.async_depth_changes == []
+    assert lcfg.depth == 2
 
 
 def test_drain_leaves_freshest_solution():
