@@ -262,8 +262,9 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
         gains = out.feedback_gains if tube.use_feedback_gains else None
         plant.set_solution(out.state_solution, out.control_solution,
                            gains, t_disp, used)
+        age = plant.get_last_pose_time() - t_disp
+        timing.age_samples_s.append(age)
         if on_tick is not None:
-            age = plant.get_last_pose_time() - t_disp
             on_tick(num_iter, used, state, out, wait_ms, age)
         return wait_ms
 

@@ -404,6 +404,14 @@ def run_realtime_gate_async(pose_port: int = 47980,
             "num_timesteps": num_timesteps,
             "harvest_p50_ms": _pct(res["harvests"], 50.0),
             "harvest_p99_ms": _pct(res["harvests"], 99.0),
+            # published-solution age (pose seconds): ~depth control
+            # periods when the device keeps up; growth past that exposes
+            # a device that cannot sustain the tick rate even when
+            # censored percentiles look healthy (last pass's samples)
+            "age_p50_s": (_pct(list(timing.age_samples_s), 50.0)
+                          if timing is not None else None),
+            "age_p99_s": (_pct(list(timing.age_samples_s), 99.0)
+                          if timing is not None else None),
             # the host stack's own per-tick work, net of the device/
             # tunnel wait — what a host-attached accelerator would see
             "p99_net_ms": _pct(res["net_ticks"], 99.0),

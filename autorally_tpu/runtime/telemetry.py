@@ -51,6 +51,12 @@ class TimingStats:
         # device-wait portion of each tick (async loop: time blocked on
         # the in-flight solve's host copy) — 0.0 for the sync loop
         self.harvest_samples_ms = collections.deque(maxlen=window)
+        # published-solution age at harvest (pose time now minus the
+        # solution's state anchor) — the async pipeline's staleness; a
+        # device that cannot sustain the tick rate shows up here as age
+        # greater than depth control periods (appended by the async
+        # loop's harvest, empty for the sync loop)
+        self.age_samples_s = collections.deque(maxlen=window)
         self.missed_ticks = 0        # whole deadline periods overrun
 
     def update(self, loop_ms: float, tick_ms: float, sleep_ms: float,

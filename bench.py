@@ -295,7 +295,7 @@ def main():
         for k in ("p50_ms", "p99_ms", "missed", "missed_raw",
                   "valid_ticks", "tainted_ticks", "p99_all_ms", "depth",
                   "depth_final", "depth_max",
-                  "harvest_p99_ms", "p99_net_ms",
+                  "harvest_p99_ms", "p99_net_ms", "age_p99_s",
                   "best_attempt_p99_ms"):
             extra[f"realtime_async_{k}"] = agate[k]
     except Exception as e:                      # pragma: no cover
