@@ -1,7 +1,7 @@
 """Worker process for the true multi-process ``jax.distributed`` test.
 
 Launched by ``tests/test_multihost.py`` as N coordinated processes, each
-exposing 4 virtual CPU devices — the multi-host deployment topology
+exposing ``devices_per_process`` virtual CPU devices — the multi-host deployment topology
 (SURVEY.md §5 "distributed communication backend") without real DCN.
 Each process:
 
@@ -13,7 +13,8 @@ Each process:
 4. routes result I/O through ``is_primary()`` — only process 0 writes,
    mirroring the primary-host pose-in/control-out routing.
 
-Run: ``python multihost_worker.py <pid> <nproc> <coordinator> <outdir>``
+Run: ``python multihost_worker.py <pid> <nproc> <coordinator> <outdir>
+[devices_per_process=4]``
 """
 
 import os
@@ -25,10 +26,11 @@ def main() -> int:
     nproc = int(sys.argv[2])
     coordinator = sys.argv[3]
     outdir = sys.argv[4]
+    dpp = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=4"
-                               ).strip()
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={dpp}").strip()
 
     import numpy as np
 
@@ -48,8 +50,8 @@ def main() -> int:
 
     initialize(coordinator=coordinator, num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc, jax.process_count()
-    assert jax.local_device_count() == 4
-    assert jax.device_count() == 4 * nproc
+    assert jax.local_device_count() == dpp
+    assert jax.device_count() == dpp * nproc
     assert is_primary() == (pid == 0)
     # idempotent re-init must not raise (the double-init guard)
     initialize(coordinator=coordinator, num_processes=nproc, process_id=pid)
@@ -80,7 +82,7 @@ def main() -> int:
 
     # ---- process-spanning rollout mesh -------------------------------
     mesh = multihost_rollout_mesh()
-    assert mesh.shape["rollouts"] == 4 * nproc
+    assert mesh.shape["rollouts"] == dpp * nproc
     # every input is replicated (same bytes on every process): make them
     # global replicated arrays so shard_map may address the full mesh
     rep = NamedSharding(mesh, P())
@@ -99,7 +101,7 @@ def main() -> int:
     # ---- 2-D hosts x local-devices ensemble mesh ---------------------
     emesh = multihost_ensemble_mesh()
     assert emesh.shape["ensemble"] == nproc
-    assert emesh.shape["rollouts"] == 4
+    assert emesh.shape["rollouts"] == dpp
     erep = NamedSharding(emesh, P())
     eput = lambda tree: jax.tree.map(
         lambda x: jax.device_put(jnp.asarray(x), erep), tree)

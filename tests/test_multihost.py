@@ -33,20 +33,26 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.fixture(scope="module")
-def worker_results(tmp_path_factory):
+# Two topologies over the same 8 global devices: the mesh helpers and
+# the per-shard noise protocol must be topology-independent (fold_in by
+# GLOBAL shard index), so both must reproduce the single-process result.
+@pytest.fixture(scope="module", params=[(2, 4), (4, 2)],
+                ids=["2procs_x_4dev", "4procs_x_2dev"])
+def worker_results(request, tmp_path_factory):
+    nproc, dpp = request.param
     outdir = str(tmp_path_factory.mktemp("multihost"))
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)          # workers set their own (4 devices)
+    env.pop("XLA_FLAGS", None)          # workers set their own device count
     repo = os.path.dirname(HERE)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", coordinator, outdir],
+            [sys.executable, WORKER, str(pid), str(nproc), coordinator,
+             outdir, str(dpp)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=os.path.dirname(HERE))
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     for p in procs:
