@@ -35,3 +35,30 @@ def load_controller_state(path: str) -> ControllerState:
         state_solution=jnp.asarray(d["state_solution"]),
         control_solution=jnp.asarray(d["control_solution"]),
         key=jnp.asarray(d["key"]))
+
+
+def save_tube_state(tube, path: str) -> None:
+    """Checkpoint a deployed tube pair — both controllers' states in one
+    ``.npz`` — so a tube deployment (the sequential loop's two
+    :class:`~autorally_tpu.runtime.controller.Controller` objects or an
+    :class:`~autorally_tpu.runtime.async_loop.AsyncTubeController`)
+    resumes mid-plan.  ``tube``: anything with ``cs_a``/``cs_p``
+    :class:`ControllerState` attributes."""
+    flat = {}
+    for tag, cs in (("a", tube.cs_a), ("p", tube.cs_p)):
+        for field, v in cs._asdict().items():
+            flat[f"{tag}_{field}"] = np.asarray(v)
+    np.savez(path, **flat)
+
+
+def load_tube_state(path: str):
+    """-> (cs_actual, cs_predicted) from :func:`save_tube_state`."""
+    import jax.numpy as jnp
+
+    d = np.load(path)
+    out = []
+    for tag in ("a", "p"):
+        out.append(ControllerState(
+            **{f: jnp.asarray(d[f"{tag}_{f}"])
+               for f in ControllerState._fields}))
+    return tuple(out)

@@ -115,6 +115,35 @@ def test_feedback_gains_published():
     assert np.isfinite(plant.feedback_gains).all()
 
 
+def test_tube_checkpoint_resume_identical_next_tick(tmp_path):
+    # run a tube 20 ticks, checkpoint both controller states, restore
+    # into a FRESH tube: the next dispatch must reproduce the original's
+    # bit-for-bit (plan, noise keys, solutions all round-trip)
+    from autorally_tpu.io.checkpoint import (load_tube_state,
+                                             save_tube_state)
+
+    tube, plant, cfg = _build()
+    lcfg = AsyncLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
+                           depth=1, realtime=False, max_iter=20)
+    run_control_loop_async(tube, plant, lcfg)
+
+    path = str(tmp_path / "tube.npz")
+    save_tube_state(tube, path)
+    state = plant.get_state().to_vector()
+    out1 = tube.dispatch(state, 1)
+
+    tube2, _, _ = _build()
+    tube2.cs_a, tube2.cs_p = load_tube_state(path)
+    out2 = tube2.dispatch(state, 1)
+
+    for leaf1, leaf2 in zip(out1, out2):
+        if leaf1 is None:
+            assert leaf2 is None
+        else:
+            np.testing.assert_array_equal(np.asarray(leaf1),
+                                          np.asarray(leaf2))
+
+
 class _SlowLeaf:
     """Device-array stand-in whose host copy 'lands' at a fixed wall time
     — emulates a dispatch->ready latency without a device."""
