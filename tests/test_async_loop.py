@@ -244,6 +244,38 @@ def test_adaptive_depth_shrinks_when_device_is_early():
     assert [d for _, d in timing.async_depth_changes] == [2, 1]
 
 
+class _OscillatingTube(_FakeTube):
+    """Latency alternates quiet/spiky every 20 dispatches — tunnel
+    weather.  The loop must settle at the depth that covers the spikes
+    (shrink_floor pins it; no grow/shrink oscillation)."""
+
+    def __init__(self, T, quiet_s, spike_s):
+        super().__init__(T, quiet_s)
+        self.quiet_s, self.spike_s = quiet_s, spike_s
+        self.n = 0
+
+    def dispatch(self, state, stride):
+        self.n += 1
+        self.latency_s = (self.spike_s if (self.n // 20) % 2 else
+                          self.quiet_s)
+        return super().dispatch(state, stride)
+
+
+def test_adaptive_depth_stable_under_oscillating_latency():
+    tube = _OscillatingTube(16, quiet_s=0.002, spike_s=0.026)
+    plant = BasePlant(dt=0.01, num_timesteps=16, use_feedback_gains=False)
+    plant.receive_state_vector(0.0, np.zeros(7, np.float32))
+    lcfg = AsyncLoopConfig(hz=100, num_timesteps=16, depth=1,
+                           realtime=True, adaptive_depth=True,
+                           shrink_after_s=0.15, max_iter=400)
+    timing = run_control_loop_async(tube, plant, lcfg)
+    # grew to cover the 26 ms spikes; once there, the floor pins it —
+    # at most one shrink/grow oscillation per level, then stable
+    assert timing.async_depth_final == 3
+    changes = [d for _, d in timing.async_depth_changes]
+    assert changes.count(2) <= 3 and changes.count(3) <= 2, changes
+
+
 def test_adaptive_depth_off_by_default_and_in_lockstep():
     # fixed-depth behavior is unchanged unless opted in; lockstep loops
     # never adapt (harvests cannot block)

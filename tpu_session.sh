@@ -41,4 +41,17 @@ done
 timeout 1800 python -m autorally_tpu.tools.scaling_bench \
   2>&1 | tee "$OUT/scaling.log" | tail -5 || true
 
+echo "== 5/5 tube realtime gate at K=32768 (50 Hz @ 17x samples) =="
+timeout 2400 python -c "
+import json
+from autorally_tpu.io.compile_cache import enable_persistent_cache
+enable_persistent_cache()
+from autorally_tpu.runtime.realtime_gate import run_realtime_gate_async
+res = run_realtime_gate_async(pose_port=48040, control_port=48041,
+                              seconds=3.0, num_rollouts=32768,
+                              num_timesteps=100, depth=4,
+                              adaptive_depth=True, warmup_iters=20)
+print(json.dumps(res))
+" 2>&1 | tee "$OUT/gate_k32768.json" | tail -1 || true
+
 echo "== done — logs in $OUT =="
