@@ -16,49 +16,52 @@ import numpy as np
 from autorally_tpu.solver.mppi import ControllerState
 
 
+def _flatten(cs: ControllerState, prefix: str = "") -> dict:
+    """One serialization convention for every checkpoint in this module:
+    ``_fields``-driven, so a future ``ControllerState`` field is carried
+    by ALL savers or by none (never a silent divergence between the
+    single-state and tube formats)."""
+    return {prefix + f: np.asarray(v) for f, v in cs._asdict().items()}
+
+
+def _unflatten(d, prefix: str = "") -> ControllerState:
+    import jax.numpy as jnp
+
+    return ControllerState(**{f: jnp.asarray(d[prefix + f])
+                              for f in ControllerState._fields})
+
+
 def save_controller_state(cs: ControllerState, path: str) -> None:
-    np.savez(path,
-             U=np.asarray(cs.U),
-             control_hist=np.asarray(cs.control_hist),
-             state_solution=np.asarray(cs.state_solution),
-             control_solution=np.asarray(cs.control_solution),
-             key=np.asarray(cs.key))
+    np.savez(path, **_flatten(cs))
 
 
 def load_controller_state(path: str) -> ControllerState:
-    import jax.numpy as jnp
+    return _unflatten(np.load(path))
 
-    d = np.load(path)
-    return ControllerState(
-        U=jnp.asarray(d["U"]),
-        control_hist=jnp.asarray(d["control_hist"]),
-        state_solution=jnp.asarray(d["state_solution"]),
-        control_solution=jnp.asarray(d["control_solution"]),
-        key=jnp.asarray(d["key"]))
+
+def _tube_pair(tube):
+    """Accepts an ``AsyncTubeController`` (``cs_a``/``cs_p``), a pair of
+    :class:`~autorally_tpu.runtime.controller.Controller` objects (the
+    sequential loop's actual/predicted, each owning ``.cs``), or a pair
+    of raw :class:`ControllerState`."""
+    if hasattr(tube, "cs_a"):
+        return tube.cs_a, tube.cs_p
+    a, p = tube
+    return (a.cs if hasattr(a, "cs") else a), (p.cs if hasattr(p, "cs") else p)
 
 
 def save_tube_state(tube, path: str) -> None:
     """Checkpoint a deployed tube pair — both controllers' states in one
-    ``.npz`` — so a tube deployment (the sequential loop's two
-    :class:`~autorally_tpu.runtime.controller.Controller` objects or an
-    :class:`~autorally_tpu.runtime.async_loop.AsyncTubeController`)
-    resumes mid-plan.  ``tube``: anything with ``cs_a``/``cs_p``
-    :class:`ControllerState` attributes."""
-    flat = {}
-    for tag, cs in (("a", tube.cs_a), ("p", tube.cs_p)):
-        for field, v in cs._asdict().items():
-            flat[f"{tag}_{field}"] = np.asarray(v)
-    np.savez(path, **flat)
+    ``.npz`` — so a tube deployment resumes mid-plan.  ``tube``: an
+    :class:`~autorally_tpu.runtime.async_loop.AsyncTubeController`, an
+    ``(actual, predicted)`` pair of the sequential loop's
+    :class:`~autorally_tpu.runtime.controller.Controller` objects, or a
+    pair of raw :class:`ControllerState`."""
+    cs_a, cs_p = _tube_pair(tube)
+    np.savez(path, **_flatten(cs_a, "a_"), **_flatten(cs_p, "p_"))
 
 
 def load_tube_state(path: str):
     """-> (cs_actual, cs_predicted) from :func:`save_tube_state`."""
-    import jax.numpy as jnp
-
     d = np.load(path)
-    out = []
-    for tag in ("a", "p"):
-        out.append(ControllerState(
-            **{f: jnp.asarray(d[f"{tag}_{f}"])
-               for f in ControllerState._fields}))
-    return tuple(out)
+    return _unflatten(d, "a_"), _unflatten(d, "p_")

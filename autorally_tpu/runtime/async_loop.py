@@ -182,13 +182,16 @@ class AsyncLoopConfig:
     # period, and shrinks it after ``shrink_after_s`` seconds of
     # back-to-back non-blocking harvests — but never below the highest
     # depth it ever had to grow *to* (one oscillation per level at most:
-    # stability beats freshness for a control loop).  The learned depth is
-    # written back to ``cfg.depth`` at loop exit so a warmup pass teaches
-    # the measured passes.
+    # stability beats freshness for a control loop).  The learned depth
+    # AND the pinned floor are written back to ``cfg.depth`` /
+    # ``cfg.shrink_floor`` at loop exit, so a warmup pass teaches the
+    # measured passes and the one-oscillation-per-level guarantee
+    # survives across invocations sharing a config.
     adaptive_depth: bool = False
     max_depth: int = 4
     grow_after: int = 3
     shrink_after_s: float = 5.0
+    shrink_floor: int = 1
 
 
 def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
@@ -225,7 +228,9 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
     shrink_after = max(1, int(round(cfg.shrink_after_s * cfg.hz)))
     blocked_run = 0
     early_run = 0
-    shrink_floor = 1               # highest depth a grow was forced to
+    # highest depth a grow was ever forced to — carried across
+    # invocations sharing this cfg (warmup pass -> measured passes)
+    shrink_floor = max(1, int(cfg.shrink_floor))
     depth_max_seen = depth
     depth_changes: list = []
 
@@ -370,5 +375,7 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
     timing.async_depth_max = depth_max_seen
     timing.async_depth_changes = depth_changes
     if adapt:
-        cfg.depth = depth            # teach the next pass (see config doc)
+        # teach the next pass (see config doc): learned depth AND floor
+        cfg.depth = depth
+        cfg.shrink_floor = shrink_floor
     return timing

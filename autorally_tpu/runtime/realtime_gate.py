@@ -78,6 +78,7 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
     all_ticks = []
     harvests = []
     net_ticks = []
+    ages = []                       # published-solution ages, pooled
     per_attempt = []
     tainted = 0
     used = 0
@@ -116,6 +117,7 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
                 valid.append((tick_ms, missed))
                 a_valid.append((tick_ms, missed))
             missed_raw += a_missed_raw
+            ages.extend(getattr(timing, "age_samples_s", []) or [])
             per_attempt.append({
                 "p99_ms": _pct([v[0] for v in a_valid], 99.0),
                 "missed": sum(v[1] for v in a_valid),
@@ -129,8 +131,8 @@ def _measured_passes(run_pass, hz: float, seconds: float, attempts: int
         if fifo:
             _drop_sched_fifo()
     return {"valid": valid, "all_ticks": all_ticks, "harvests": harvests,
-            "net_ticks": net_ticks, "tainted": tainted, "used": used,
-            "timing": timing, "attempts": per_attempt,
+            "net_ticks": net_ticks, "ages": ages, "tainted": tainted,
+            "used": used, "timing": timing, "attempts": per_attempt,
             "missed_raw": missed_raw}
 
 
@@ -407,11 +409,10 @@ def run_realtime_gate_async(pose_port: int = 47980,
             # published-solution age (pose seconds): ~depth control
             # periods when the device keeps up; growth past that exposes
             # a device that cannot sustain the tick rate even when
-            # censored percentiles look healthy (last pass's samples)
-            "age_p50_s": (_pct(list(timing.age_samples_s), 50.0)
-                          if timing is not None else None),
-            "age_p99_s": (_pct(list(timing.age_samples_s), 99.0)
-                          if timing is not None else None),
+            # censored percentiles look healthy (pooled over every
+            # attempt, like the sibling percentiles)
+            "age_p50_s": _pct(res["ages"], 50.0),
+            "age_p99_s": _pct(res["ages"], 99.0),
             # the host stack's own per-tick work, net of the device/
             # tunnel wait — what a host-attached accelerator would see
             "p99_net_ms": _pct(res["net_ticks"], 99.0),

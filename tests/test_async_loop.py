@@ -205,21 +205,24 @@ def _fake_rig(latency_s, T=16):
 
 
 def test_adaptive_depth_grows_to_cover_latency():
-    # 26 ms dispatch->ready latency at a 10 ms period: a depth-1 pipeline
-    # blocks ~16 ms per harvest; the loop must deepen to 3 (30 ms of
-    # pipeline cover), after which harvests stop blocking
-    tube, plant = _fake_rig(latency_s=0.026)
+    # 35 ms dispatch->ready latency at a 10 ms period: a depth-1 pipeline
+    # blocks ~25 ms per harvest; the loop must deepen until harvests stop
+    # blocking (4 at an exact 10 ms cadence; 3 if host load stretches the
+    # tick spacing — both prove the mechanism without pinning the test to
+    # this machine's scheduler)
+    tube, plant = _fake_rig(latency_s=0.035)
     lcfg = AsyncLoopConfig(hz=100, num_timesteps=16, depth=1,
                            realtime=True, adaptive_depth=True,
                            max_depth=6, max_iter=200)
     timing = run_control_loop_async(tube, plant, lcfg)
-    assert timing.async_depth_final == 3
-    assert timing.async_depth_max == 3
+    assert 3 <= timing.async_depth_final <= 4
+    assert timing.async_depth_max == timing.async_depth_final
     # once adapted, harvests are non-blocking (tail of the run)
     tail = list(timing.harvest_samples_ms)[-50:]
     assert np.median(tail) < 2.5
-    # the learned depth is written back for the next pass
-    assert lcfg.depth == 3
+    # the learned depth (and floor) are written back for the next pass
+    assert lcfg.depth == timing.async_depth_final
+    assert lcfg.shrink_floor == timing.async_depth_final
 
 
 def test_adaptive_depth_respects_max_depth():
@@ -269,11 +272,14 @@ def test_adaptive_depth_stable_under_oscillating_latency():
                            realtime=True, adaptive_depth=True,
                            shrink_after_s=0.15, max_iter=400)
     timing = run_control_loop_async(tube, plant, lcfg)
-    # grew to cover the 26 ms spikes; once there, the floor pins it —
-    # at most one shrink/grow oscillation per level, then stable
-    assert timing.async_depth_final == 3
+    # grew to cover the 26 ms spikes (3 at exact cadence, 2 if host load
+    # stretched the ticks); once there, the floor pins it — at most one
+    # shrink/grow oscillation per level, then stable
+    assert 2 <= timing.async_depth_final <= 3
     changes = [d for _, d in timing.async_depth_changes]
     assert changes.count(2) <= 3 and changes.count(3) <= 2, changes
+    # the floor survives the write-back for the next invocation
+    assert lcfg.shrink_floor == timing.async_depth_final
 
 
 def test_adaptive_depth_off_by_default_and_in_lockstep():

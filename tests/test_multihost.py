@@ -1,14 +1,16 @@
 """True multi-process ``jax.distributed`` execution test.
 
 Round-2 VERDICT: the multi-host path had never executed with more than
-one process.  This test spawns 2 coordinated worker processes, each with
-4 virtual CPU devices (``tests/multihost_worker.py``), so
-``initialize()``, the process-spanning mesh, the DCN-crossing collectives
-(pmin/psum inside the sharded solve), the 2-D ensemble mesh, and the
-``is_primary`` I/O routing all run for real.  The solve result must match
-the single-process 8-device solver bit-for-bit up to float32 reduction
-order — the noise protocol (fold_in by global shard index) is topology-
-independent by construction.
+one process.  This test spawns coordinated worker processes
+(``tests/multihost_worker.py``) in TWO topologies over the same 8
+global virtual CPU devices — 2 processes x 4 devices and 4 processes x
+2 devices — so ``initialize()``, the process-spanning mesh, the
+DCN-crossing collectives (pmin/psum inside the sharded solve), the 2-D
+ensemble mesh, and the ``is_primary`` I/O routing all run for real.
+Both topologies must match the single-process 8-device solver
+bit-for-bit up to float32 reduction order — the noise protocol
+(fold_in by GLOBAL shard index) is topology-independent by
+construction, and the parametrization is what proves it.
 """
 
 import os

@@ -18,7 +18,7 @@ OUT=${1:-/tmp/tpu_session_$(date -u +%Y%m%dT%H%M%S)}
 mkdir -p "$OUT"
 echo "logs -> $OUT"
 
-echo "== 1/4 probe =="
+echo "== 1/5 probe =="
 if ! timeout 180 python -c "import jax; print(jax.devices())" \
       > "$OUT/probe.log" 2>&1; then
   echo "tunnel DOWN (probe timed out / failed) — see $OUT/probe.log"
@@ -26,14 +26,14 @@ if ! timeout 180 python -c "import jax; print(jax.devices())" \
 fi
 cat "$OUT/probe.log"
 
-echo "== 2/4 tests_tpu =="
+echo "== 2/5 tests_tpu =="
 timeout 5400 python -m pytest tests_tpu/ -q 2>&1 | tee "$OUT/tests_tpu.log" \
   | tail -15
 
-echo "== 3/4 bench =="
-timeout 5400 python bench.py 2>&1 | tee "$OUT/bench.json" | tail -3
+echo "== 3/5 bench =="
+timeout 5400 python bench.py 2>"$OUT/bench.err" | tee "$OUT/bench.json" | tail -3
 
-echo "== 4/4 solve breakdown (sharded-gap forensics) =="
+echo "== 4/5 solve breakdown (sharded-gap forensics) =="
 for flags in "" "--kernel-rng" "--bf"; do
   timeout 1200 python -m autorally_tpu.tools.solve_breakdown $flags \
     2>&1 | tee -a "$OUT/breakdown.log"
@@ -52,6 +52,6 @@ res = run_realtime_gate_async(pose_port=48040, control_port=48041,
                               num_timesteps=100, depth=4,
                               adaptive_depth=True, warmup_iters=20)
 print(json.dumps(res))
-" 2>&1 | tee "$OUT/gate_k32768.json" | tail -1 || true
+" 2>"$OUT/gate_k32768.err" | tee "$OUT/gate_k32768.json" | tail -1 || true
 
 echo "== done — logs in $OUT =="
