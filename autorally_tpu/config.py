@@ -66,9 +66,24 @@ class CostParams:
     # object's construction-time array.  A traced pytree leaf, so MOVING
     # obstacles update at pose rate with zero recompiles (capacity fixed).
     obstacles: Any = None
+    # Runtime softmax-temperature override — an EXTENSION beyond the
+    # reference's CostParams struct (the reference fixes gamma at launch,
+    # path_integral_nn.launch).  None (default) uses the static
+    # ``MPPIConfig.gamma``; a scalar here is traced into every solve path
+    # (single-chip, sharded, ensemble, kernel-RNG), so live temperature
+    # tuning — e.g. :class:`~autorally_tpu.runtime.ess_tuner.EssTuner`
+    # holding the effective sample size in a target band — never
+    # recompiles.
+    gamma: Any = None
 
     def replace(self, **kw) -> "CostParams":
         return dataclasses.replace(self, **kw)
+
+
+def effective_gamma(cfg: "MPPIConfig", cost_params: CostParams):
+    """The softmax temperature a solve should use: the traced
+    ``CostParams.gamma`` override when set, else the static config's."""
+    return cfg.gamma if cost_params.gamma is None else cost_params.gamma
 
 
 @dataclasses.dataclass(frozen=True)

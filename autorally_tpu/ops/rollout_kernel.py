@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from autorally_tpu.config import effective_gamma
+
 # state rows are padded 7 -> 8 sublanes
 SPAD = 8
 LANE = 128
@@ -1507,7 +1509,7 @@ def fused_rng_solve_iteration(model, model_params, cfg, cost_params, field,
         precision=precision, obstacles=obstacles,
         obstacle_coeff=obstacle_coeff, inflation=inflation)
     baseline = jnp.min(total)
-    w = jnp.exp(-cfg.gamma * (total - baseline))
+    w = jnp.exp(-effective_gamma(cfg, cost_params) * (total - baseline))
     eta = jnp.sum(w)
     numer = fused_rng_numer(ctx, w)
     U_new = (numer / eta).T                              # (T, C)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from autorally_tpu.config import CostParams, MPPIConfig
+from autorally_tpu.config import CostParams, MPPIConfig, effective_gamma
 from autorally_tpu.costs.costmap import Costmap
 from autorally_tpu.costs.mppi_cost import MPPICost
 from autorally_tpu.models.base import Dynamics
@@ -95,7 +95,8 @@ class EnsembleShardedMPPISolver(MPPISolver):
                 k_offset=k_offset)
 
             baseline = lax.pmin(lax.pmin(jnp.min(total), e_axis), r_axis)
-            w = jnp.exp(-cfg.gamma * (total - baseline))
+            w = jnp.exp(-effective_gamma(cfg, cost_params)
+                        * (total - baseline))
             eta = lax.psum(lax.psum(jnp.sum(w), e_axis), r_axis)
             sum_w2 = lax.psum(lax.psum(jnp.sum(w * w), e_axis), r_axis)
             spec = "k,ctk->tc" if self.use_pallas_rollout else "k,tkc->tc"

@@ -28,7 +28,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from autorally_tpu.config import CostParams, MPPIConfig
+from autorally_tpu.config import CostParams, MPPIConfig, effective_gamma
 from autorally_tpu.costs.costmap import Costmap
 from autorally_tpu.costs.mppi_cost import MPPICost
 from autorally_tpu.models.base import Dynamics
@@ -109,7 +109,8 @@ class ShardedMPPISolver(MPPISolver):
 
             # Cross-chip reductions (the only communication).
             baseline = pmin(jnp.min(total))
-            w = jnp.exp(-cfg.gamma * (total - baseline))
+            w = jnp.exp(-effective_gamma(cfg, cost_params)
+                        * (total - baseline))
             eta = psum(jnp.sum(w))
             sum_w2 = psum(jnp.sum(w * w))
             spec = "k,ctk->tc" if self.use_pallas_rollout else "k,tkc->tc"
@@ -155,7 +156,8 @@ class ShardedMPPISolver(MPPISolver):
                 **self._obstacle_kwargs(cost_params))
 
             baseline = pmin(jnp.min(total))
-            w = jnp.exp(-cfg.gamma * (total - baseline))
+            w = jnp.exp(-effective_gamma(cfg, cost_params)
+                        * (total - baseline))
             eta = psum(jnp.sum(w))
             sum_w2 = psum(jnp.sum(w * w))
             numer = psum(fused_rng_numer(ctx, w))

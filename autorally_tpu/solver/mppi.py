@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from autorally_tpu.config import CostParams, MPPIConfig
+from autorally_tpu.config import CostParams, MPPIConfig, effective_gamma
 from autorally_tpu.costs.costmap import Costmap
 from autorally_tpu.costs.mppi_cost import MPPICost
 from autorally_tpu.models.base import Dynamics
@@ -336,7 +336,8 @@ class MPPISolver:
         # On-device reductions (the reference's host syncs #1-#3,
         # mppi_controller.cu:624-652).
         baseline = jnp.min(total)
-        w = jnp.exp(-cfg.gamma * (total - baseline))           # (K,)
+        w = jnp.exp(-effective_gamma(cfg, cost_params)
+                    * (total - baseline))                   # (K,)
         eta = jnp.sum(w)
         traj_cost = jnp.sum(w * w) / eta
         # u_seq layout differs by rollout backend: (C, T, K) component-major
@@ -401,7 +402,8 @@ class MPPISolver:
                     precision=cfg.matmul_precision,
                     **self._obstacle_kwargs(cost_params))
                 baseline = jnp.min(total)
-                w = jnp.exp(-cfg.gamma * (total - baseline))
+                w = jnp.exp(-effective_gamma(cfg, cost_params)
+                            * (total - baseline))
                 eta = jnp.sum(w)
                 stats = SolveStats(
                     baseline=baseline, normalizer=eta,

@@ -46,6 +46,12 @@ def main():
                     help="model .npz (defaults to the reference NN or BF "
                          "weights per --bf)")
     ap.add_argument("--desired-speed", type=float, default=6.0)
+    ap.add_argument("--ess-target", type=float, default=None,
+                    metavar="FRAC",
+                    help="hold the effective sample size at FRAC*K by "
+                         "live-tuning the softmax temperature (EssTuner; "
+                         "beyond-reference: the reference pins gamma at "
+                         "launch)")
     ap.add_argument("--telemetry-port", type=int, default=None,
                     help="UDP port to feed the operator console "
                          "(tools/console.py) on")
@@ -145,6 +151,12 @@ def main():
 
     from autorally_tpu.runtime.telemetry import TimingStats
     timing = TimingStats()
+
+    tuner = None
+    if args.ess_target is not None:
+        from autorally_tpu.runtime.ess_tuner import EssTuner
+
+        tuner = EssTuner(cfg, target_frac=args.ess_target)
     budget_ms = 1000.0 * cfg.optimization_stride / cfg.hz
 
     used_counts = {"actual": 0, "predicted": 0}
@@ -169,6 +181,7 @@ def main():
                 "tick": i, "x": float(state[0]), "y": float(state[1]),
                 "speed": float(state[4]), "used": used,
                 "ess": float(s.ess) if s else 0.0,
+                "gamma": tuner.gamma if tuner else cfg.gamma,
                 "crash_pct": 100.0 * float(s.crash_frac) if s else 0.0,
                 "traj_cost": chosen.get_computed_trajectory_cost()})
             now = time.time()
@@ -209,7 +222,11 @@ def main():
             def get_computed_trajectory_cost(self):
                 return float(self.stats.trajectory_cost)
 
+        ess_cb_async = tuner.attach_async(tube) if tuner else None
+
         def on_tick_async(num_iter, used, state, out, harvest_ms, age_s):
+            if ess_cb_async is not None:
+                ess_cb_async(num_iter, used, state, out, harvest_ms, age_s)
             on_tick(num_iter, _Shim(out), used, state)
 
         alcfg = AsyncLoopConfig(hz=cfg.hz,
@@ -226,8 +243,16 @@ def main():
                                  optimization_stride=cfg.optimization_stride,
                                  use_feedback_gains=cfg.use_feedback_gains,
                                  max_iter=args.ticks)
+        tick_cb = on_tick
+        if tuner is not None:
+            ess_cb = tuner.attach(actual, predicted)
+
+            def tick_cb(i, chosen, used, state):
+                ess_cb(i, chosen, used, state)
+                on_tick(i, chosen, used, state)
+
         timing = run_control_loop(predicted, actual, plant, lcfg,
-                                  monitor=monitor, on_tick=on_tick,
+                                  monitor=monitor, on_tick=tick_cb,
                                   timing=timing)
     if bus is not None:
         bus.publish("timing", {**timing.as_dict(), "budget_ms": budget_ms})
