@@ -45,6 +45,7 @@ class EpisodeResult(NamedTuple):
     trajectory_cost: jnp.ndarray  # (n_ticks,)
     ess: jnp.ndarray              # (n_ticks,)
     crash_frac: jnp.ndarray       # (n_ticks,)
+    gamma: jnp.ndarray            # (n_ticks,) softmax temperature used
 
 
 class EpisodeRunner:
@@ -53,13 +54,31 @@ class EpisodeRunner:
     def __init__(self, solver: MPPISolver, true_model: Optional[Dynamics]
                  = None, n_ticks: int = 1000,
                  use_feedback_gains: bool = False, pose_substeps: int = 1,
-                 throttle_max: float = 0.65):
+                 throttle_max: float = 0.65,
+                 ess_target_frac: Optional[float] = None,
+                 ess_alpha: float = 0.25, ess_headroom: float = 8.0):
+        """``ess_target_frac``: enable ON-DEVICE adaptive softmax
+        temperature — the :class:`~autorally_tpu.runtime.ess_tuner.EssTuner`
+        law (multiplicative step on measured ESS, clamped to
+        ``gamma/headroom .. gamma*headroom``) carried through the episode
+        scan, so the whole adapt-solve-adapt loop runs at device speed
+        with zero host involvement (beyond-reference: the reference pins
+        gamma at launch)."""
         self.solver = solver
         self.true_model = true_model or solver.model
         self.n_ticks = int(n_ticks)
         self.use_feedback_gains = bool(use_feedback_gains)
         self.pose_substeps = int(pose_substeps)
         self.throttle_max = float(throttle_max)
+        self._ess_target = None
+        if ess_target_frac is not None:
+            if not (0.0 < ess_target_frac <= 1.0):
+                raise ValueError(
+                    f"ess_target_frac in (0, 1]: {ess_target_frac}")
+            self._ess_target = float(ess_target_frac) * solver.cfg.num_rollouts
+            self._ess_alpha = float(ess_alpha)
+            self._g_lo = solver.cfg.gamma / float(ess_headroom)
+            self._g_hi = solver.cfg.gamma * float(ess_headroom)
         expected_dt = solver.cfg.dt / self.pose_substeps
         if abs(self.true_model.dt - expected_dt) > 1e-9:
             raise ValueError(
@@ -104,11 +123,15 @@ class EpisodeRunner:
         M = self.pose_substeps
 
         def tick(carry, i):
-            cs_a, cs_p, state = carry
+            cs_a, cs_p, state, gamma = carry
             # moving obstacles: this tick's circle positions ride the
             # traced CostParams (costs/obstacles.py live-update path)
             cp = (cost_params if obstacle_traj is None
                   else cost_params.replace(obstacles=obstacle_traj[i]))
+            if self._ess_target is not None:
+                # adaptive temperature: both tube halves solve at the
+                # carried gamma (same law as runtime/ess_tuner.py)
+                cp = cp.replace(gamma=gamma)
             # receding-horizon slide (run_control_loop.cuh:206-215)
             cs_a = solver._slide(cs_a, jnp.int32(stride))
             cs_p = solver._slide(cs_p, jnp.int32(stride))
@@ -151,14 +174,26 @@ class EpisodeRunner:
             state, u_exec = lax.scan(sim_step, state,
                                      jnp.arange(stride * M))
 
+            gamma_used = gamma
+            if self._ess_target is not None:
+                # next tick's temperature from the winning solve's ESS
+                ess = pick(st_a.ess, st_p.ess)
+                step = (jnp.maximum(ess, 1.0)
+                        / self._ess_target) ** self._ess_alpha
+                gamma = jnp.clip(gamma * step, self._g_lo, self._g_hi)
+
             out = (state, u_exec[0], use_actual,
                    pick(st_a.trajectory_cost, st_p.trajectory_cost),
                    pick(st_a.ess, st_p.ess),
-                   pick(st_a.crash_frac, st_p.crash_frac))
-            return (cs_a, cs_p, state), out
+                   pick(st_a.crash_frac, st_p.crash_frac),
+                   gamma_used)
+            return (cs_a, cs_p, state, gamma), out
 
-        (_, _, _), outs = lax.scan(
-            tick, (cs_a, cs_p, state0.astype(jnp.float32)),
+        from autorally_tpu.config import effective_gamma
+
+        gamma0 = jnp.float32(effective_gamma(cfg, cost_params))
+        (_, _, _, _), outs = lax.scan(
+            tick, (cs_a, cs_p, state0.astype(jnp.float32), gamma0),
             jnp.arange(self.n_ticks))
         return EpisodeResult(*outs)
 

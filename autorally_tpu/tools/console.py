@@ -101,7 +101,9 @@ class ConsoleState:
                         f"speed={solve.get('speed',0):5.2f} m/s  "
                         f"using={solve.get('used','?'):<9}  "
                         f"ess={solve.get('ess',0):7.1f}  "
-                        f"crash={solve.get('crash_pct',0):4.1f}%  "
+                        + (f"gamma={solve['gamma']:.3f}  "
+                           if "gamma" in solve else "")
+                        + f"crash={solve.get('crash_pct',0):4.1f}%  "
                         f"cost={solve.get('traj_cost',0):8.3g}"
                         + ("  [STALE]" if st else ""), color))
         else:

@@ -225,6 +225,50 @@ def test_attach_async_updates_tube():
     assert g2 == pytest.approx(tuner.gamma)
 
 
+def test_episode_runner_on_device_adaptive_gamma():
+    """EpisodeRunner(ess_target_frac=...) carries the EssTuner law inside
+    the episode scan: the whole adapt-solve loop runs on-device.  The
+    tuned run's ESS must end nearer the target than the fixed-gamma run,
+    and gamma telemetry must move and stay clamped."""
+    import math
+
+    from autorally_tpu.runtime.episode import EpisodeRunner
+
+    cfg = MPPIConfig(num_rollouts=K, num_timesteps=24)
+    data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
+                              track_width=6.0, ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    start = np.array([30.0, 0.0, math.pi / 2, 0, 0, 0, 0], dtype=np.float32)
+    cp = CostParams(desired_speed=5.0)
+    frac, headroom = 0.25, 8.0
+    target = frac * K
+
+    tuned = EpisodeRunner(solver, n_ticks=80, ess_target_frac=frac,
+                          ess_headroom=headroom)
+    fixed = EpisodeRunner(solver, n_ticks=80)
+    rt = tuned.run(params, cp, cm, start)
+    rf = fixed.run(params, cp, cm, start)
+
+    g = np.asarray(rt.gamma)
+    assert g.shape == (80,)
+    assert (g >= cfg.gamma / headroom - 1e-6).all()
+    assert (g <= cfg.gamma * headroom + 1e-6).all()
+    assert not np.allclose(g, cfg.gamma), "gamma never adapted"
+    # fixed-run telemetry: constant at the configured temperature
+    np.testing.assert_allclose(np.asarray(rf.gamma), cfg.gamma)
+
+    err = lambda e: abs(np.log(max(float(e), 1.0) / target))
+    ess_t = float(np.median(np.asarray(rt.ess)[40:]))
+    ess_f = float(np.median(np.asarray(rf.ess)[40:]))
+    at_clamp = (np.isclose(g[-1], cfg.gamma / headroom)
+                or np.isclose(g[-1], cfg.gamma * headroom))
+    assert err(ess_t) < max(err(ess_f), 0.3) or at_clamp, (
+        f"tuned ESS {ess_t:.1f} no closer to {target} than fixed {ess_f:.1f}")
+
+
 def test_tuner_closed_loop_converges_on_real_solver(rng):
     """Drive the actual solver's measured ESS into the target band by
     feeding SolveStats.ess back through CostParams.gamma (fixed noise so

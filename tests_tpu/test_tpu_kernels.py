@@ -350,3 +350,43 @@ def test_obstacles_fused_on_tpu():
                                                 capacity=8))
     _, s_far = sp.solve(params, moved, cm, START, cs)
     assert float(s_far.crash_frac) <= float(s_near.crash_frac)
+
+
+def test_gamma_override_on_tpu_paths():
+    """The traced CostParams.gamma override must reproduce a statically
+    configured gamma bit-exactly on both hardware hot paths at operating
+    scale: the exact-fused (host-noise) kernel and the kernel-RNG
+    nothing-in-HBM mode."""
+    g = 0.45
+    # exact-fused iterate with injected noise: same total costs, so the
+    # override and the static config must agree exactly
+    sp, params, cp, cm, cfg = build(pallas=True, exact_fused=True)
+    sp_static = MPPISolver(sp.model, sp.cost, cfg.replace(gamma=g))
+    eps = jax.random.normal(jax.random.PRNGKey(5), (100, 1920, 2),
+                            dtype=jnp.float32)
+    U = sp.init_state().U
+    U_hot, st_hot = jax.jit(
+        lambda e: sp.iterate(params, cp.replace(gamma=g), cm, START, U, e)
+    )(eps)
+    U_sta, st_sta = jax.jit(
+        lambda e: sp_static.iterate(params, cp, cm, START, U, e))(eps)
+    np.testing.assert_array_equal(np.asarray(U_hot), np.asarray(U_sta))
+    np.testing.assert_array_equal(np.asarray(st_hot.ess),
+                                  np.asarray(st_sta.ess))
+    # and it changed the answer vs the default temperature
+    U_def, st_def = jax.jit(
+        lambda e: sp.iterate(params, cp, cm, START, U, e))(eps)
+    assert float(st_hot.ess) < float(st_def.ess)
+
+    # kernel-RNG mode: same key -> same in-kernel noise, so override vs
+    # static must again match exactly
+    cfg_rng = MPPIConfig(num_rollouts=1920, num_timesteps=100,
+                         kernel_rng=True)
+    sp_rng = MPPISolver(sp.model, sp.cost, cfg_rng)
+    sp_rng_sta = MPPISolver(sp.model, sp.cost, cfg_rng.replace(gamma=g))
+    assert sp_rng._use_kernel_rng(cm) and sp_rng_sta._use_kernel_rng(cm)
+    cs = sp_rng.init_state()
+    a, sa = sp_rng.solve(params, cp.replace(gamma=g), cm, START, cs)
+    b, sb = sp_rng_sta.solve(params, cp, cm, START, cs)
+    np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))
+    np.testing.assert_array_equal(np.asarray(sa.ess), np.asarray(sb.ess))
