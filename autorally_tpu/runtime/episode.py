@@ -177,10 +177,13 @@ class EpisodeRunner:
             gamma_used = gamma
             if self._ess_target is not None:
                 # next tick's temperature from the winning solve's ESS
-                ess = pick(st_a.ess, st_p.ess)
-                step = (jnp.maximum(ess, 1.0)
-                        / self._ess_target) ** self._ess_alpha
-                gamma = jnp.clip(gamma * step, self._g_lo, self._g_hi)
+                # (the EssTuner law, traced; parity-tested against the
+                # host tuner)
+                from autorally_tpu.runtime.ess_tuner import gamma_step_traced
+
+                gamma = gamma_step_traced(
+                    gamma, pick(st_a.ess, st_p.ess), self._ess_target,
+                    self._ess_alpha, self._g_lo, self._g_hi)
 
             out = (state, u_exec[0], use_actual,
                    pick(st_a.trajectory_cost, st_p.trajectory_cost),

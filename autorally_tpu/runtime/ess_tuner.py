@@ -35,7 +35,25 @@ Usage::
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
+
+
+def gamma_step_traced(gamma, ess, target, alpha, lo, hi):
+    """One multiplicative ESS->gamma step as traced jnp ops — the SAME
+    law as :meth:`EssTuner.update`, for use inside jitted programs (the
+    episode runner's on-device adaptation).  The host tuner deliberately
+    does NOT call this: a jnp op per control tick would dispatch a device
+    program (25 ms tunnel sync on the dev rig); lockstep between the two
+    implementations is enforced by
+    ``tests/test_ess_tuner.py::test_traced_law_matches_host_tuner``.
+    A non-finite ESS sample or result leaves gamma unchanged (an inf
+    would otherwise launder into the hi clamp rather than be ignored
+    the way the host tuner ignores it)."""
+    step = (jnp.maximum(ess, 1.0) / target) ** alpha
+    g = jnp.clip(gamma * step, lo, hi)
+    return jnp.where(jnp.isfinite(ess) & jnp.isfinite(g), g, gamma)
 
 
 class EssTuner:
@@ -61,11 +79,25 @@ class EssTuner:
 
     def update(self, ess: float) -> float:
         """One adaptation step from the latest solve's measured ESS;
-        returns the gamma to place in ``CostParams.gamma``."""
-        ratio = max(float(ess), 1.0) / self.target
+        returns the gamma to place in ``CostParams.gamma``.  A non-finite
+        ESS sample (a NaN solve is a transient the plant layer already
+        survives, ``autorally_plant.cpp:353-375``) leaves gamma unchanged
+        — it must not latch the tuner to NaN."""
+        ess = float(ess)
+        if not math.isfinite(ess):
+            return self.gamma
+        ratio = max(ess, 1.0) / self.target
         self.gamma = min(max(self.gamma * ratio ** self.alpha, self.lo),
                          self.hi)
         return self.gamma
+
+    def seed(self, cost_params):
+        """Return ``cost_params`` with gamma pre-set to the tuner's
+        current value.  Call BEFORE the first solve/warmup dispatch: the
+        None->scalar flip changes the CostParams pytree STRUCTURE, so an
+        unseeded first :meth:`update` would force one full recompile
+        mid-drive (minutes-scale for the fused tube program)."""
+        return cost_params.replace(gamma=jnp.float32(self.gamma))
 
     def reset(self) -> None:
         self.gamma = self.base

@@ -292,11 +292,15 @@ class BasePlant:
         restart): clear the monotonic-pose guard and heading unwrap so the
         next pose is taken at face value.  Without this, a time-regressed
         stream is silently dropped forever (round-3 advisor finding) —
-        the drops are at least counted in ``dropped_poses``."""
+        the drops are at least counted in ``dropped_poses``.  The drop
+        counter is zeroed too: the diagnostic must describe the stream
+        SINCE the operator's recovery, not keep re-raising the error the
+        reset just addressed."""
         with self._lock:
             self.last_pose_time = -1.0
             self.last_pose_mono = -1.0
             self.activated = False
+            self.dropped_poses = 0
             self._unwrap = HeadingUnwrapper()
 
     def pose_stream_diagnostic(self) -> dict:

@@ -289,6 +289,7 @@ def run_realtime_gate_async(pose_port: int = 47980,
                             use_feedback_gains: bool = True,
                             depth: int = 2,
                             adaptive_depth: bool = True,
+                            max_depth: Optional[int] = None,
                             warmup_iters: int = 12,
                             attempts: int = 6) -> dict:
     """Realtime gate over the ASYNC-dispatch loop at the reference
@@ -372,10 +373,16 @@ def run_realtime_gate_async(pose_port: int = 47980,
         if plant.pose_count == 0:
             raise RuntimeError("no poses from the simulator process")
 
+        # adaptive depth needs grow headroom above the STARTING depth —
+        # a gate launched at depth=4 with the config default max_depth=4
+        # could never deepen when the tunnel RTT drifts mid-run
+        if max_depth is None:
+            max_depth = depth + 4 if adaptive_depth else depth
         lcfg = AsyncLoopConfig(hz=cfg.hz,
                                num_timesteps=cfg.num_timesteps,
                                depth=depth, realtime=True,
-                               adaptive_depth=adaptive_depth)
+                               adaptive_depth=adaptive_depth,
+                               max_depth=max_depth)
         # warmup: absorb jit compilation + device-tunnel warm paths
         lcfg.max_iter = warmup_iters
         run_control_loop_async(tube, plant, lcfg)

@@ -96,6 +96,16 @@ def main():
                          num_timesteps=args.timesteps)
         cost_params = CostParams(desired_speed=args.desired_speed)
 
+    tuner = None
+    if args.ess_target is not None:
+        from autorally_tpu.runtime.ess_tuner import EssTuner
+
+        tuner = EssTuner(cfg, target_frac=args.ess_target)
+        # seed gamma as a traced scalar BEFORE the first solve compiles:
+        # the None->scalar flip changes the CostParams pytree structure,
+        # so an unseeded first tuner update would recompile mid-drive
+        cost_params = tuner.seed(cost_params)
+
     data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
                               track_width=6.0, ppm=10.0)
     cm = make_costmap(data, xb, yb)
@@ -152,11 +162,6 @@ def main():
     from autorally_tpu.runtime.telemetry import TimingStats
     timing = TimingStats()
 
-    tuner = None
-    if args.ess_target is not None:
-        from autorally_tpu.runtime.ess_tuner import EssTuner
-
-        tuner = EssTuner(cfg, target_frac=args.ess_target)
     budget_ms = 1000.0 * cfg.optimization_stride / cfg.hz
 
     used_counts = {"actual": 0, "predicted": 0}

@@ -159,6 +159,63 @@ def test_tuner_clamps_at_headroom():
     assert g == pytest.approx(0.15 * 4.0)
 
 
+def test_tuner_nan_ess_does_not_latch():
+    """A transient NaN solve (NaN ESS) must leave gamma unchanged —
+    not poison every subsequent solve."""
+    cfg = MPPIConfig(num_rollouts=K, gamma=0.15)
+    tuner = EssTuner(cfg, target_frac=0.25)
+    g0 = tuner.update(40.0)
+    assert tuner.update(float("nan")) == g0
+    assert tuner.update(float("inf")) == g0
+    g1 = tuner.update(40.0)              # recovers normally afterwards
+    assert np.isfinite(g1) and g1 != g0
+
+
+def test_traced_law_matches_host_tuner():
+    """gamma_step_traced (the episode runner's on-device law) must match
+    EssTuner.update step-for-step — the two implementations are kept in
+    lockstep by this test (the host side stays pure-Python floats so a
+    control tick never dispatches a device program)."""
+    from autorally_tpu.runtime.ess_tuner import gamma_step_traced
+
+    cfg = MPPIConfig(num_rollouts=K, gamma=0.15)
+    for ess in (0.0, 1.0, 4.0, 31.9, 32.0, 120.0, float(K), 1e9,
+                float("nan"), float("inf")):
+        for g_start in (0.15, 0.02, 1.19):
+            host = EssTuner(cfg, target_frac=0.25)
+            host.gamma = g_start
+            g_host = host.update(ess)
+            g_dev = float(gamma_step_traced(
+                jnp.float32(g_start), jnp.float32(ess), host.target,
+                host.alpha, host.lo, host.hi))
+            assert g_dev == pytest.approx(g_host, rel=1e-5), (
+                f"law divergence at ess={ess}, gamma={g_start}")
+
+
+def test_seed_avoids_structure_retrace():
+    """tuner.seed() pre-sets gamma as a scalar leaf so the first live
+    update does NOT flip the CostParams pytree structure: exactly one
+    trace across warmup + tuned updates."""
+    solver, params, cm, cfg = build()
+    tuner = EssTuner(cfg, target_frac=0.25)
+    traces = {"n": 0}
+    orig = solver._solve
+
+    def counting(*a, **k):
+        traces["n"] += 1
+        return orig(*a, **k)
+
+    solver._solve_jit = jax.jit(counting)
+    cp = tuner.seed(CostParams())
+    cs = solver.init_state()
+    st = jnp.asarray(START)
+    cs, s0 = solver.solve(params, cp, cm, st, cs)          # warmup
+    for _ in range(3):
+        cp = cp.replace(gamma=jnp.float32(tuner.update(float(s0.ess))))
+        cs, s0 = solver.solve(params, cp, cm, st, cs)
+    assert traces["n"] == 1, "seeded tuner still retraced the solve"
+
+
 def test_attach_drives_control_loop():
     """tuner.attach() wired into run_control_loop: gamma lands on BOTH
     controllers' cost params each tick and the car still drives."""

@@ -190,12 +190,15 @@ def test_reset_pose_clock_recovers_restarted_source():
     assert plant.dropped_poses == 30
     assert plant.pose_stream_diagnostic()["level"] == "error"
 
-    # recovery: clear the pose clock, the stream flows again
+    # recovery: clear the pose clock, the stream flows again AND the
+    # diagnostic stops re-raising the error the reset just addressed
     plant.reset_pose_clock()
+    assert plant.dropped_poses == 0
     for i in range(10):
         plant.receive_state_vector(0.02 * i, np.zeros(7, np.float32))
     assert plant.pose_count == 30
     assert plant.get_last_pose_time() == pytest.approx(0.18)
+    assert plant.pose_stream_diagnostic()["level"] == "ok"
 
 
 def test_udp_plant_reorder_over_real_sockets():
