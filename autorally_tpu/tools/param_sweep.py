@@ -17,7 +17,10 @@ Usage::
         --ticks 800 --rollouts 512 [--track winding] [--cpu]
 
 Each ``--sweep field=v1,v2,...`` names a :class:`CostParams` field; the
-grid is the cartesian product.  Prints one JSON line per grid point
+grid is the cartesian product.  Because the softmax temperature rides
+the traced ``CostParams.gamma``, ``--sweep gamma=0.05,0.15,0.6`` tunes
+the temperature itself across lanes — a knob the reference fixes at
+compile/launch time.  Prints one JSON line per grid point
 (mean/max speed, distance, crash %, mean ESS, score) plus a ``BEST``
 line; ``--out`` also writes the full result list as JSON.
 

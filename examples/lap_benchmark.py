@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--rollouts", type=int, default=1920)
     ap.add_argument("--timesteps", type=int, default=100)
     ap.add_argument("--desired-speed", type=float, default=6.0)
+    ap.add_argument("--ess-target", type=float, default=None,
+                    metavar="FRAC",
+                    help="on-device adaptive softmax temperature holding "
+                         "ESS at FRAC*K inside the episode scan "
+                         "(EssTuner law; beyond-reference)")
     ap.add_argument("--feedback", action="store_true",
                     help="apply DDP feedback gains K(x - x_des) through the "
                          "interpolated publication pipeline "
@@ -130,7 +135,8 @@ def main():
     runner = EpisodeRunner(solver, true_model=true_model,
                            n_ticks=args.ticks,
                            use_feedback_gains=args.feedback,
-                           pose_substeps=args.pose_substeps)
+                           pose_substeps=args.pose_substeps,
+                           ess_target_frac=args.ess_target)
     params_true = params
     if args.mismatch:
         if args.bf:
@@ -181,6 +187,11 @@ def main():
           f" / predicted {args.ticks - int(np.asarray(res.used_actual).sum())}")
     print(f"mean ESS {float(np.asarray(res.ess).mean()):.0f}  "
           f"mean crash% {100*float(np.asarray(res.crash_frac).mean()):.1f}")
+    if args.ess_target is not None:
+        g = np.asarray(res.gamma)
+        print(f"adaptive gamma: {g[0]:.3f} -> {g[-1]:.3f} "
+              f"(range {g.min():.3f}-{g.max():.3f}, "
+              f"target ESS {args.ess_target * cfg.num_rollouts:.0f})")
 
     if args.plot:
         import matplotlib

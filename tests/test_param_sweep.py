@@ -82,3 +82,18 @@ def test_sweep_parameters_steer_the_outcome(rig):
     rows = lane_metrics(res, grid, settle=20)
     assert rows[1]["mean_speed"] > rows[0]["mean_speed"] + 0.5
     assert all(np.isfinite(r["score"]) for r in rows)
+
+
+def test_gamma_is_sweepable(rig):
+    """The traced gamma override makes the softmax temperature itself a
+    sweepable hyperparameter: per-lane ESS must fall monotonically as
+    gamma rises (peakier weights), all in ONE vmapped program."""
+    runner, params, cm, start = rig
+    grid = [{"gamma": 0.05}, {"gamma": 0.15}, {"gamma": 0.6}]
+    stacked = stack_cost_params(CostParams(), grid)
+    res = run_sweep(runner, params, stacked, cm, start)
+    ess = np.asarray(res.ess).mean(axis=1)          # (3,) per-lane mean
+    assert ess[0] > ess[1] > ess[2], f"ESS not monotone in gamma: {ess}"
+    # lanes solved at genuinely different temperatures -> different plans
+    states = np.asarray(res.states)
+    assert not np.allclose(states[0], states[2])
