@@ -18,7 +18,7 @@ OUT=${1:-/tmp/tpu_session_$(date -u +%Y%m%dT%H%M%S)}
 mkdir -p "$OUT"
 echo "logs -> $OUT"
 
-echo "== 1/5 probe =="
+echo "== 1/6 probe =="
 if ! timeout 180 python -c "import jax; print(jax.devices())" \
       > "$OUT/probe.log" 2>&1; then
   echo "tunnel DOWN (probe timed out / failed) — see $OUT/probe.log"
@@ -26,14 +26,14 @@ if ! timeout 180 python -c "import jax; print(jax.devices())" \
 fi
 cat "$OUT/probe.log"
 
-echo "== 2/5 tests_tpu =="
+echo "== 2/6 tests_tpu =="
 timeout 5400 python -m pytest tests_tpu/ -q 2>&1 | tee "$OUT/tests_tpu.log" \
   | tail -15
 
-echo "== 3/5 bench =="
+echo "== 3/6 bench =="
 timeout 5400 python bench.py 2>"$OUT/bench.err" | tee "$OUT/bench.json" | tail -3
 
-echo "== 4/5 solve breakdown (sharded-gap forensics) =="
+echo "== 4/6 solve breakdown (sharded-gap forensics) =="
 for flags in "" "--kernel-rng" "--bf"; do
   timeout 1200 python -m autorally_tpu.tools.solve_breakdown $flags \
     2>&1 | tee -a "$OUT/breakdown.log"
@@ -41,7 +41,7 @@ done
 timeout 1800 python -m autorally_tpu.tools.scaling_bench \
   2>&1 | tee "$OUT/scaling.log" | tail -5 || true
 
-echo "== 5/5 tube realtime gate at K=32768 (50 Hz @ 17x samples) =="
+echo "== 5/6 tube realtime gate at K=32768 (50 Hz @ 17x samples) =="
 timeout 2400 python -c "
 import json
 from autorally_tpu.io.compile_cache import enable_persistent_cache
@@ -53,5 +53,12 @@ res = run_realtime_gate_async(pose_port=48040, control_port=48041,
                               adaptive_depth=True, warmup_iters=20)
 print(json.dumps(res))
 " 2>"$OUT/gate_k32768.err" | tee "$OUT/gate_k32768.json" | tail -1 || true
+
+echo "== 6/6 ESS-tuner demo (live temperature, host + on-device) =="
+timeout 1800 python -m autorally_tpu.tools.ess_demo --mode host \
+  --ticks 150 2>"$OUT/ess_host.err" | tee "$OUT/ess_host.json" | tail -1 || true
+timeout 1800 python -m autorally_tpu.tools.ess_demo --mode episode \
+  --ticks 1000 2>"$OUT/ess_episode.err" \
+  | tee "$OUT/ess_episode.json" | tail -1 || true
 
 echo "== done — logs in $OUT =="
