@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--rollouts", type=int, default=1920)
     ap.add_argument("--timesteps", type=int, default=100)
     ap.add_argument("--desired-speed", type=float, default=6.0)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="episode PRNG seed pair = (2*seed, 2*seed+1); a "
+                         "traced argument, so re-seeding reuses the "
+                         "compiled episode")
     ap.add_argument("--ess-target", type=float, default=None,
                     metavar="FRAC",
                     help="on-device adaptive softmax temperature holding "
@@ -154,7 +158,8 @@ def main():
     cost_params = CostParams(desired_speed=args.desired_speed)
 
     t0 = time.time()
-    res = runner.run(params, cost_params, cm, start, params_true=params_true)
+    res = runner.run(params, cost_params, cm, start, params_true=params_true,
+                     seed_a=2 * args.seed, seed_p=2 * args.seed + 1)
     jax.block_until_ready(res)
     wall = time.time() - t0
     sim_s = args.ticks * cfg.dt
@@ -181,7 +186,8 @@ def main():
     if full_laps:
         print(f"LAPS: {len(full_laps)}  times: "
               f"{['%.2fs' % t for t in full_laps]}")
-    print(f"speed: mean {states[200:, 4].mean():.2f} "
+    settle = min(200, len(states) // 2)       # skip the standing start
+    print(f"speed: mean {states[settle:, 4].mean():.2f} "
           f"max {states[:, 4].max():.2f} m/s (desired {args.desired_speed})")
     print(f"controller usage: actual {int(np.asarray(res.used_actual).sum())}"
           f" / predicted {args.ticks - int(np.asarray(res.used_actual).sum())}")
@@ -210,7 +216,7 @@ def main():
         ax.set_xlabel("x (m)")
         ax.set_ylabel("y (m)")
         ax.set_title(f"{args.track} track, {args.ticks} ticks, "
-                     f"mean {states[200:, 4].mean():.1f} m/s")
+                     f"mean {states[settle:, 4].mean():.1f} m/s")
         ax.legend(loc="upper right")
         fig.tight_layout()
         fig.savefig(args.plot, dpi=130)
