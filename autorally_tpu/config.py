@@ -25,6 +25,17 @@ import jax
 import jax.numpy as jnp
 
 
+# Dev-rig defaults for the reference's shipped model weights (the .npz
+# interchange format, ``params/models/README.md``).  Examples and tools
+# use these as ARGUMENT DEFAULTS only — the library never loads them
+# implicitly; override with ``AUTORALLY_TPU_ASSETS`` or explicit paths.
+_ASSETS = os.environ.get(
+    "AUTORALLY_TPU_ASSETS",
+    "/root/reference/autorally_control/src/path_integral/params/models")
+REFERENCE_NN_NPZ = os.path.join(_ASSETS, "autorally_nnet_09_12_2018.npz")
+REFERENCE_BF_NPZ = os.path.join(_ASSETS, "basis_function_09_12_2018.npz")
+
+
 def _pytree_dataclass(cls):
     """Register a dataclass whose fields are all pytree leaves."""
     cls = dataclasses.dataclass(frozen=True)(cls)

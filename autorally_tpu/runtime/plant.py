@@ -301,15 +301,19 @@ class BasePlant:
             self.last_pose_mono = -1.0
             self.activated = False
             self.dropped_poses = 0
+            self._poses_at_reset = self.pose_count
             self._unwrap = HeadingUnwrapper()
 
     def pose_stream_diagnostic(self) -> dict:
         """-> {'level', 'message', 'dropped', 'received'} for the
         diagnostics rollup: WARN once out-of-order/duplicate drops appear,
         ERROR when the stream is dropping more than it delivers (the
-        reset-clock signature)."""
+        reset-clock signature).  Both counters describe the stream SINCE
+        the last :meth:`reset_pose_clock` — a long healthy pre-reset
+        history must not mask a still-regressed source after recovery."""
         with self._lock:
-            dropped, received = self.dropped_poses, self.pose_count
+            dropped = self.dropped_poses
+            received = self.pose_count - getattr(self, "_poses_at_reset", 0)
         if dropped == 0:
             level, msg = "ok", f"{received} poses"
         elif dropped < max(1, received):

@@ -73,3 +73,26 @@ class SolveTimer:
                          f"{s['p50_ms']:>8.2f} {s['p99_ms']:>8.2f} "
                          f"{s['max_ms']:>8.2f}")
         return "\n".join(lines)
+
+
+def count_solve_traces(solver) -> dict:
+    """Instrument a solver's jitted solve with a trace counter.
+
+    Rewraps ``solver._solve_jit`` so every retrace increments the
+    returned ``{"n": int}`` — the zero-recompile contracts (live
+    CostParams updates, gamma tuning) are asserted against this by
+    ``tests/test_ess_tuner.py`` and measured by ``tools/ess_demo.py``.
+    Must mirror how ``MPPISolver.__init__`` builds the jit (plain
+    ``jax.jit``, no static/donated args) — that is why this lives in ONE
+    place."""
+    import jax
+
+    traces = {"n": 0}
+    orig = solver._solve
+
+    def counting(*args, **kw):
+        traces["n"] += 1
+        return orig(*args, **kw)
+
+    solver._solve_jit = jax.jit(counting)
+    return traces

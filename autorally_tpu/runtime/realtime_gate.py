@@ -375,9 +375,12 @@ def run_realtime_gate_async(pose_port: int = 47980,
 
         # adaptive depth needs grow headroom above the STARTING depth —
         # a gate launched at depth=4 with the config default max_depth=4
-        # could never deepen when the tunnel RTT drifts mid-run
+        # could never deepen when the tunnel RTT drifts mid-run.  The
+        # default headroom is +2 (not unbounded): every extra level is a
+        # control period of published-solution staleness, and the gate's
+        # age_p50/p99 telemetry reports whatever is actually incurred.
         if max_depth is None:
-            max_depth = depth + 4 if adaptive_depth else depth
+            max_depth = depth + 2 if adaptive_depth else depth
         lcfg = AsyncLoopConfig(hz=cfg.hz,
                                num_timesteps=cfg.num_timesteps,
                                depth=depth, realtime=True,

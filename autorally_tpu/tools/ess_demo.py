@@ -55,22 +55,15 @@ def _build(args):
 
 
 def run_host(args):
-    import jax
     import jax.numpy as jnp
 
     from autorally_tpu.config import CostParams
     from autorally_tpu.runtime.ess_tuner import EssTuner
     from autorally_tpu.runtime.plant import SyntheticPlant
+    from autorally_tpu.runtime.profiling import count_solve_traces
 
     cfg, cm, model, params, solver, start = _build(args)
-    traces = {"n": 0}
-    orig = solver._solve
-
-    def counting(*a, **k):
-        traces["n"] += 1
-        return orig(*a, **k)
-
-    solver._solve_jit = jax.jit(counting)
+    traces = count_solve_traces(solver)
 
     def loop(tuner):
         plant = SyntheticPlant(model, params, start, cfg.dt,
@@ -168,9 +161,9 @@ def main(argv=None):
     ap.add_argument("--timesteps", type=int, default=100)
     ap.add_argument("--target-frac", type=float, default=0.25)
     ap.add_argument("--desired-speed", type=float, default=8.0)
-    ap.add_argument("--model", default=(
-        "/root/reference/autorally_control/src/path_integral/params/"
-        "models/autorally_nnet_09_12_2018.npz"))
+    from autorally_tpu.config import REFERENCE_NN_NPZ
+
+    ap.add_argument("--model", default=REFERENCE_NN_NPZ)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 

@@ -177,9 +177,9 @@ def main(argv=None) -> int:
         start_pose = (30.0, 0.0, math.pi / 2)
     cm = make_costmap(data, xb, yb)
     model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
-    params = model.load_params(
-        "/root/reference/autorally_control/src/path_integral/params/models/"
-        "autorally_nnet_09_12_2018.npz")
+    from autorally_tpu.config import REFERENCE_NN_NPZ
+
+    params = model.load_params(REFERENCE_NN_NPZ)
     solver = MPPISolver(model, MPPICost(), cfg)
     runner = EpisodeRunner(solver, n_ticks=args.ticks)
     start = np.array([*start_pose, 0, 0, 0, 0], dtype=np.float32)

@@ -29,8 +29,7 @@ import sys
 
 import numpy as np
 
-DEFAULT_MODEL = ("/root/reference/autorally_control/src/path_integral/"
-                 "params/models/autorally_nnet_09_12_2018.npz")
+from autorally_tpu.config import REFERENCE_NN_NPZ as DEFAULT_MODEL
 
 
 def main(argv=None) -> int:

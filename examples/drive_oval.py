@@ -24,8 +24,7 @@ import time
 
 import numpy as np
 
-MODEL_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
-             "models/autorally_nnet_09_12_2018.npz")
+from autorally_tpu.config import REFERENCE_NN_NPZ as MODEL_NPZ
 
 
 def main():

@@ -31,8 +31,7 @@ import math
 
 import numpy as np
 
-MODEL_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
-             "models/autorally_nnet_09_12_2018.npz")
+from autorally_tpu.config import REFERENCE_NN_NPZ as MODEL_NPZ
 
 CAR_RADIUS = 0.6      # physical circle around ONE vehicle (m)
 # Planner circles use the Minkowski sum of both cars' extents: the crash

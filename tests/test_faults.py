@@ -200,6 +200,16 @@ def test_reset_pose_clock_recovers_restarted_source():
     assert plant.get_last_pose_time() == pytest.approx(0.18)
     assert plant.pose_stream_diagnostic()["level"] == "ok"
 
+    # a STILL-broken source after recovery: the diagnostic counts since
+    # the reset, so the error signature is reachable again immediately —
+    # the healthy pre-reset history must not mask it
+    plant.reset_pose_clock()
+    for _ in range(4):                       # stuck timestamp: 1 accept,
+        plant.receive_state_vector(5.0, np.zeros(7, np.float32))
+    d = plant.pose_stream_diagnostic()       # then every pose dropped
+    assert d["level"] == "error", d
+    assert d["received"] == 1 and d["dropped"] == 3
+
 
 def test_udp_plant_reorder_over_real_sockets():
     """Same attack through the real UDP link + native ring."""
