@@ -81,15 +81,10 @@ def test_gamma_override_matches_static(rng):
 def test_gamma_override_no_retrace():
     """Updating the gamma scalar through CostParams must not retrace the
     jitted solve (the zero-recompile live-tuning contract)."""
+    from autorally_tpu.runtime.profiling import count_solve_traces
+
     solver, params, cm, _ = build()
-    traces = {"n": 0}
-    orig = solver._solve
-
-    def counting(*a, **k):
-        traces["n"] += 1
-        return orig(*a, **k)
-
-    solver._solve_jit = jax.jit(counting)
+    traces = count_solve_traces(solver)
     cs = solver.init_state()
     st = jnp.asarray(START)
     cs, s0 = solver.solve(params, CostParams(gamma=jnp.float32(0.15)),
@@ -196,16 +191,11 @@ def test_seed_avoids_structure_retrace():
     """tuner.seed() pre-sets gamma as a scalar leaf so the first live
     update does NOT flip the CostParams pytree structure: exactly one
     trace across warmup + tuned updates."""
+    from autorally_tpu.runtime.profiling import count_solve_traces
+
     solver, params, cm, cfg = build()
     tuner = EssTuner(cfg, target_frac=0.25)
-    traces = {"n": 0}
-    orig = solver._solve
-
-    def counting(*a, **k):
-        traces["n"] += 1
-        return orig(*a, **k)
-
-    solver._solve_jit = jax.jit(counting)
+    traces = count_solve_traces(solver)
     cp = tuner.seed(CostParams())
     cs = solver.init_state()
     st = jnp.asarray(START)
