@@ -980,18 +980,29 @@ def _make_exact_lookup(map3_ref, vals_ref, sc, H: int, W: int, Hp: int,
 
         @pl.when(jnp.logical_not(fast))
         def _full_sweep():
-            # swarm spread exceeds the window: exact banded sweep over the
-            # whole padded map (each lookup is owned by exactly one band,
-            # out-of-band contributions are 0 by the window masks)
-            nbx = Wblk // CB
+            # swarm spread exceeds the window: exact banded sweep over
+            # the bands intersecting the swarm's index bounding box —
+            # every lookup lies in [mn..mx] by construction, so its
+            # owning band is inside the swept rectangle (each lookup is
+            # owned by exactly one band; out-of-band contributions are 0
+            # by the window masks).  Sweeping only the box makes the
+            # slow path cost proportional to the SPREAD, not the map:
+            # on the real-circuit maps (ppm=10, 64 rows = 6.4 m) the
+            # full-map sweep was 30 bands where the swarm typically
+            # touches 2-6.
+            by0 = mn_iy // RW
+            by1 = mx_iy // RW                       # inclusive band rows
+            bx0 = mn_ix // (CB * LANE)
+            bx1 = mx_ix // (CB * LANE)              # inclusive band cols
+            nx = bx1 - bx0 + 1
 
             def band(b, acc):
-                by = (b // nbx) * RW
-                bx = (b % nbx) * CB
+                by = (by0 + b // nx) * RW
+                bx = (bx0 + b % nx) * CB
                 return acc + window_vals(by, bx, iy_all, ix_all)
 
             vals_ref[...] = jax.lax.fori_loop(
-                0, (Hp // RW) * nbx, band,
+                0, (by1 - by0 + 1) * nx, band,
                 jnp.zeros((1, 2 * K), jnp.float32))
 
         return vals_ref[...]
