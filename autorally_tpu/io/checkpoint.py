@@ -36,7 +36,10 @@ def save_controller_state(cs: ControllerState, path: str) -> None:
 
 
 def load_controller_state(path: str) -> ControllerState:
-    return _unflatten(np.load(path))
+    # materialize inside the context — _unflatten reads lazily from the
+    # NpzFile's zip handle (round-4 advisor finding)
+    with np.load(path) as d:
+        return _unflatten(d)
 
 
 def _tube_pair(tube):
@@ -63,5 +66,5 @@ def save_tube_state(tube, path: str) -> None:
 
 def load_tube_state(path: str):
     """-> (cs_actual, cs_predicted) from :func:`save_tube_state`."""
-    d = np.load(path)
-    return _unflatten(d, "a_"), _unflatten(d, "p_")
+    with np.load(path) as d:
+        return _unflatten(d, "a_"), _unflatten(d, "p_")

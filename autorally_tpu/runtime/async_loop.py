@@ -182,16 +182,22 @@ class AsyncLoopConfig:
     # period, and shrinks it after ``shrink_after_s`` seconds of
     # back-to-back non-blocking harvests — but never below the highest
     # depth it ever had to grow *to* (one oscillation per level at most:
-    # stability beats freshness for a control loop).  The learned depth
-    # AND the pinned floor are written back to ``cfg.depth`` /
-    # ``cfg.shrink_floor`` at loop exit, so a warmup pass teaches the
-    # measured passes and the one-oscillation-per-level guarantee
-    # survives across invocations sharing a config.
+    # stability beats freshness for a control loop).  With
+    # ``carry_learned`` the learned depth AND the pinned floor are
+    # written back to ``cfg.depth`` / ``cfg.shrink_floor`` at loop exit,
+    # so a warmup pass teaches the measured passes and the
+    # one-oscillation-per-level guarantee survives across invocations
+    # sharing a config.  It is OPT-IN (round-4 advisor finding): a config
+    # reused across unrelated tubes/devices must not silently inherit
+    # another loop's learned depth — without it the learned values are
+    # still reported via ``timing.async_depth_final`` /
+    # ``timing.async_depth_max``.
     adaptive_depth: bool = False
     max_depth: int = 4
     grow_after: int = 3
     shrink_after_s: float = 5.0
     shrink_floor: int = 1
+    carry_learned: bool = False
 
 
 def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
@@ -374,7 +380,7 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
     timing.async_depth_final = depth
     timing.async_depth_max = depth_max_seen
     timing.async_depth_changes = depth_changes
-    if adapt:
+    if adapt and cfg.carry_learned:
         # teach the next pass (see config doc): learned depth AND floor
         cfg.depth = depth
         cfg.shrink_floor = shrink_floor

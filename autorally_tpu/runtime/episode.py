@@ -77,8 +77,12 @@ class EpisodeRunner:
                     f"ess_target_frac in (0, 1]: {ess_target_frac}")
             self._ess_target = float(ess_target_frac) * solver.cfg.num_rollouts
             self._ess_alpha = float(ess_alpha)
-            self._g_lo = solver.cfg.gamma / float(ess_headroom)
-            self._g_hi = solver.cfg.gamma * float(ess_headroom)
+            # the clamp band is centered on the EFFECTIVE starting gamma
+            # (cfg.gamma or a CostParams.gamma override) inside _episode —
+            # centering on cfg.gamma would silently clip a user override
+            # outside the cfg-based band back on the first tick (round-4
+            # advisor finding)
+            self._ess_headroom = float(ess_headroom)
         expected_dt = solver.cfg.dt / self.pose_substeps
         if abs(self.true_model.dt - expected_dt) > 1e-9:
             raise ValueError(
@@ -183,7 +187,7 @@ class EpisodeRunner:
 
                 gamma = gamma_step_traced(
                     gamma, pick(st_a.ess, st_p.ess), self._ess_target,
-                    self._ess_alpha, self._g_lo, self._g_hi)
+                    self._ess_alpha, g_lo, g_hi)
 
             out = (state, u_exec[0], use_actual,
                    pick(st_a.trajectory_cost, st_p.trajectory_cost),
@@ -195,6 +199,10 @@ class EpisodeRunner:
         from autorally_tpu.config import effective_gamma
 
         gamma0 = jnp.float32(effective_gamma(cfg, cost_params))
+        if self._ess_target is not None:
+            # multiplicative headroom band around the effective start
+            g_lo = gamma0 / self._ess_headroom
+            g_hi = gamma0 * self._ess_headroom
         (_, _, _, _), outs = lax.scan(
             tick, (cs_a, cs_p, state0.astype(jnp.float32), gamma0),
             jnp.arange(self.n_ticks))

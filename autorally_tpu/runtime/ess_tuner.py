@@ -109,7 +109,16 @@ class EssTuner:
         run_control_loop`: read the winning controller's measured ESS,
         adapt, and apply the new gamma to every controller (both tube
         halves must solve at the same temperature or the arbitration's
-        trajectory-cost comparison would be apples-to-oranges)."""
+        trajectory-cost comparison would be apples-to-oranges).
+
+        Attaching also :meth:`seed`\\ s any controller whose cost params
+        still carry ``gamma=None`` — the first ``update`` would otherwise
+        flip the CostParams pytree structure (None -> scalar) and force a
+        full recompile of the jitted solve mid-drive (round-4 advisor
+        finding)."""
+        for c in controllers:
+            if c.cost_params.gamma is None:
+                c.update_cost_params(self.seed(c.cost_params))
 
         def on_tick(num_iter, chosen, used, state):
             if chosen.stats is None:
@@ -125,7 +134,10 @@ class EssTuner:
         run_control_loop_async`: the harvested ``TubeTickOutput.ess`` is
         ``depth`` ticks stale, which this slow multiplicative controller
         tolerates by design; the new gamma rides the next dispatch's
-        traced cost params (zero recompiles)."""
+        traced cost params (zero recompiles).  Seeds an unseeded tube at
+        attach time (same recompile guard as :meth:`attach`)."""
+        if tube.cost_params.gamma is None:
+            tube.update_cost_params(self.seed(tube.cost_params))
 
         def on_tick(num_iter, used, state, out, harvest_ms, age_s):
             g = jnp.float32(self.update(float(out.ess)))

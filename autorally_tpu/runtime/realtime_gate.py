@@ -385,7 +385,8 @@ def run_realtime_gate_async(pose_port: int = 47980,
                                num_timesteps=cfg.num_timesteps,
                                depth=depth, realtime=True,
                                adaptive_depth=adaptive_depth,
-                               max_depth=max_depth)
+                               max_depth=max_depth,
+                               carry_learned=True)
         # warmup: absorb jit compilation + device-tunnel warm paths
         lcfg.max_iter = warmup_iters
         run_control_loop_async(tube, plant, lcfg)

@@ -213,16 +213,31 @@ def test_adaptive_depth_grows_to_cover_latency():
     tube, plant = _fake_rig(latency_s=0.035)
     lcfg = AsyncLoopConfig(hz=100, num_timesteps=16, depth=1,
                            realtime=True, adaptive_depth=True,
-                           max_depth=6, max_iter=200)
+                           max_depth=6, max_iter=200, carry_learned=True)
     timing = run_control_loop_async(tube, plant, lcfg)
     assert 3 <= timing.async_depth_final <= 4
     assert timing.async_depth_max == timing.async_depth_final
     # once adapted, harvests are non-blocking (tail of the run)
     tail = list(timing.harvest_samples_ms)[-50:]
     assert np.median(tail) < 2.5
-    # the learned depth (and floor) are written back for the next pass
+    # with carry_learned the depth (and floor) are written back for the
+    # next pass sharing this config
     assert lcfg.depth == timing.async_depth_final
     assert lcfg.shrink_floor == timing.async_depth_final
+
+
+def test_adaptive_depth_default_does_not_mutate_config():
+    # carry-over is OPT-IN (round-4 advisor finding): by default the
+    # caller's config comes back untouched — learned values ride the
+    # timing telemetry only
+    tube, plant = _fake_rig(latency_s=0.035)
+    lcfg = AsyncLoopConfig(hz=100, num_timesteps=16, depth=1,
+                           realtime=True, adaptive_depth=True,
+                           max_depth=6, max_iter=200)
+    timing = run_control_loop_async(tube, plant, lcfg)
+    assert timing.async_depth_final > 1       # it did adapt...
+    assert lcfg.depth == 1                    # ...but cfg is untouched
+    assert lcfg.shrink_floor == 1
 
 
 def test_adaptive_depth_respects_max_depth():
@@ -270,7 +285,8 @@ def test_adaptive_depth_stable_under_oscillating_latency():
     plant.receive_state_vector(0.0, np.zeros(7, np.float32))
     lcfg = AsyncLoopConfig(hz=100, num_timesteps=16, depth=1,
                            realtime=True, adaptive_depth=True,
-                           shrink_after_s=0.15, max_iter=400)
+                           shrink_after_s=0.15, max_iter=400,
+                           carry_learned=True)
     timing = run_control_loop_async(tube, plant, lcfg)
     # grew to cover the 26 ms spikes (3 at exact cadence, 2 if host load
     # stretched the ticks); once there, the floor pins it — at most one

@@ -272,6 +272,58 @@ def test_attach_async_updates_tube():
     assert g2 == pytest.approx(tuner.gamma)
 
 
+def test_attach_seeds_unseeded_cost_params():
+    """attach()/attach_async() must seed gamma into an unseeded
+    CostParams AT ATTACH TIME: the first on-tick update would otherwise
+    flip the pytree structure None->scalar and force a recompile of the
+    jitted solve mid-drive (round-4 advisor finding)."""
+    import types
+
+    cfg = MPPIConfig(num_rollouts=K, gamma=0.15)
+
+    class FakeCtrl:
+        def __init__(self):
+            self.cost_params = CostParams()          # gamma=None
+
+        def update_cost_params(self, cp):
+            self.cost_params = cp
+
+    a, p = FakeCtrl(), FakeCtrl()
+    EssTuner(cfg, target_frac=0.25).attach(a, p)     # no tick yet
+    assert a.cost_params.gamma is not None
+    assert p.cost_params.gamma is not None
+    assert float(a.cost_params.gamma) == pytest.approx(cfg.gamma)
+
+    tube = FakeCtrl()
+    EssTuner(cfg, target_frac=0.25).attach_async(tube)
+    assert tube.cost_params.gamma is not None
+    # an already-seeded params object is left alone (same pytree leaf)
+    tube2 = FakeCtrl()
+    tube2.cost_params = CostParams(gamma=jnp.float32(0.4))
+    EssTuner(cfg, target_frac=0.25).attach_async(tube2)
+    assert float(tube2.cost_params.gamma) == pytest.approx(0.4)
+
+
+def test_episode_adaptive_gamma_clamp_centers_on_override():
+    """A CostParams.gamma starting override outside the cfg-based band
+    must NOT be clipped back into it: the headroom clamp centers on the
+    effective starting gamma (round-4 advisor finding)."""
+    from autorally_tpu.runtime.episode import EpisodeRunner
+
+    solver, params, cm, cfg = build(gamma=0.15)
+    headroom = 2.0
+    override = cfg.gamma * 20.0                      # far outside band
+    runner = EpisodeRunner(solver, n_ticks=12, ess_target_frac=0.25,
+                           ess_headroom=headroom)
+    res = runner.run(params, CostParams(gamma=jnp.float32(override)),
+                     cm, START)
+    g = np.asarray(res.gamma)
+    assert g[0] == pytest.approx(override), "first tick ignored override"
+    assert (g >= override / headroom - 1e-6).all(), (
+        "override was clipped into the cfg-centered band")
+    assert (g <= override * headroom + 1e-6).all()
+
+
 def test_episode_runner_on_device_adaptive_gamma():
     """EpisodeRunner(ess_target_frac=...) carries the EssTuner law inside
     the episode scan: the whole adapt-solve loop runs on-device.  The
