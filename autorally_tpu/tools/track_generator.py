@@ -202,6 +202,20 @@ def _texture_track(texture_path: str, plane: Tuple[float, float],
 
     rows, cols = np.where(mask)
     pad = int(round(margin * tex_ppm))
+    # Extend the texture with off-track border BEFORE cropping: where the
+    # drivable ribbon touches the texture edge (CCRF's east straight runs
+    # along the ground plane's x=0 boundary) the crop would otherwise put
+    # near-zero track cost ON the costmap border, and the clamp-addressing
+    # texture lookup (costs.cu:143-149) extends border texels to infinity
+    # — at high speed the controller finds and exploits that "free track
+    # beyond the map" (round-5 finding).  Beyond the ground plane there is
+    # no track, so False (off-track) padding is the faithful geometry;
+    # dt_out below then grows the usual 1+distance cost into the margin.
+    mask = np.pad(mask, pad, constant_values=False)
+    rows = rows + pad
+    cols = cols + pad
+    x00 -= pad / tex_ppm
+    y00 -= pad / tex_ppm
     r0 = max(int(rows.min()) - pad, 0)
     r1 = min(int(rows.max()) + pad, mask.shape[0])
     c0 = max(int(cols.min()) - pad, 0)
