@@ -2,5 +2,6 @@
 
 from autorally_tpu.solver.mppi import MPPISolver, SolveStats
 from autorally_tpu.solver.ddp import DDPSolver
+from autorally_tpu.solver.ensemble import EnsembleMPPISolver
 
-__all__ = ["MPPISolver", "SolveStats", "DDPSolver"]
+__all__ = ["MPPISolver", "SolveStats", "DDPSolver", "EnsembleMPPISolver"]

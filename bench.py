@@ -39,7 +39,8 @@ BASELINE_HZ = 50.0
 
 
 def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6,
-               model_kind="nn", wall=False, return_batches=False):
+               model_kind="nn", wall=False, return_batches=False,
+               ensemble_members=0):
     """Solves/s for ``cfg``.
 
     Default: ``n`` dependent replans chained in one ``lax.scan`` program
@@ -60,7 +61,7 @@ def _bench_cfg(cfg, costmap=None, sharded=False, n=25, batches=6,
             cfg, sharded=True, mesh=mesh)
     else:
         solver, params, cost_params, cm, state = _build(
-            cfg, model_kind=model_kind)
+            cfg, model_kind=model_kind, ensemble_members=ensemble_members)
     if costmap is not None:
         cm = costmap
     args = (params, cost_params, cm, state)
@@ -223,6 +224,20 @@ def main():
         extra["neural_K65536_solves_per_sec"] = round(_bench_cfg(
             MPPIConfig(num_rollouts=65536, num_timesteps=100),
             costmap=nc, n=25, batches=4), 2)
+
+        # BASELINE config #5's model family on one chip: the 8-member
+        # ensemble through EnsembleMPPISolver (per-member fused
+        # exact-costmap kernels, solver/ensemble.py).  K=65536 is the
+        # largest power-of-two holding 50 Hz on this chip (round-5
+        # survey: 8192 -> 380/s, 16384 -> 203/s, 32768 -> 103/s,
+        # 65536 -> 55/s); the K=16384 row tracks round-over-round drift
+        # at a lighter point.
+        extra["ensemble8_K16384_solves_per_sec"] = round(_bench_cfg(
+            MPPIConfig(num_rollouts=16384, num_timesteps=100),
+            n=25, batches=4, ensemble_members=8), 2)
+        extra["ensemble8_K65536_solves_per_sec"] = round(_bench_cfg(
+            MPPIConfig(num_rollouts=65536, num_timesteps=100),
+            n=10, batches=4, ensemble_members=8), 2)
 
         # capacity mode: in-kernel RNG, K=262144, nothing per-(t,k) in HBM
         extra["rng_K262144_solves_per_sec"] = round(_bench_cfg(

@@ -91,3 +91,76 @@ def test_member_params_roundtrip():
     m0 = member_params(params, 0)
     np.testing.assert_allclose(np.asarray(m0["weights"][0]),
                                np.asarray(p0["weights"][0]))
+
+
+# ----------------------------------------------------------------------
+# EnsembleMPPISolver: the per-member fused-kernel decomposition
+# ----------------------------------------------------------------------
+
+def test_ensemble_fused_solver_matches_ensemble_dynamics():
+    """EnsembleMPPISolver's member-block decomposition must reproduce the
+    EnsembleDynamics vmap path exactly (same global noise): identical
+    rollout costs, identical update — the launcher-level split is a pure
+    re-batching."""
+    from autorally_tpu.solver import EnsembleMPPISolver
+
+    model_e, stacked, p0, base = make_ensemble(num_members=4, noise=0.2)
+    cfg = MPPIConfig(num_rollouts=128, num_timesteps=16)
+    data, xb, yb = oval_track(ppm=2.0)
+    cm = make_costmap(data, xb, yb)
+    eps = jax.random.normal(jax.random.PRNGKey(3), (16, 128, 2),
+                            dtype=jnp.float32)
+
+    ref = MPPISolver(model_e, MPPICost(), cfg)          # vmap path
+    fused = EnsembleMPPISolver(base, MPPICost(), cfg, num_members=4)
+    U0 = ref.init_state().U
+    st = jnp.asarray(START)
+
+    t_ref, u_ref, c_ref = ref.rollout_costs(stacked, CostParams(), cm,
+                                            st, U0, eps)
+    t_f, u_f, c_f = fused.rollout_costs(stacked, CostParams(), cm,
+                                        st, U0, eps)
+    # on CPU both run the scan path -> same (T, K, C) layout
+    np.testing.assert_allclose(np.asarray(t_f), np.asarray(t_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(c_f), np.asarray(c_ref))
+
+    U_ref, st_ref = ref.iterate(stacked, CostParams(), cm, st, U0, eps)
+    U_f, st_f = fused.iterate(stacked, CostParams(), cm, st, U0, eps)
+    np.testing.assert_allclose(np.asarray(U_f), np.asarray(U_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(st_f.ess), float(st_ref.ess),
+                               rtol=1e-5)
+
+
+def test_ensemble_fused_solver_full_solve_and_nominal():
+    """Full jitted solve runs; the nominal trajectory uses member 0."""
+    from autorally_tpu.solver import EnsembleMPPISolver
+
+    _, stacked, p0, base = make_ensemble(num_members=4, noise=0.2)
+    cfg = MPPIConfig(num_rollouts=128, num_timesteps=16)
+    data, xb, yb = oval_track(ppm=2.0)
+    cm = make_costmap(data, xb, yb)
+    solver = EnsembleMPPISolver(base, MPPICost(), cfg, num_members=4)
+    cs2, stats = solver.solve(stacked, CostParams(), cm, START,
+                              solver.init_state())
+    assert np.isfinite(np.asarray(cs2.U)).all()
+    assert float(stats.ess) > 1.0
+    # nominal re-rollout == member-0 single-model re-rollout
+    single = MPPISolver(base, MPPICost(), cfg)
+    s_ref, c_ref = single.nominal_trajectory(p0, jnp.asarray(START), cs2.U)
+    s_e, c_e = solver.nominal_trajectory(stacked, jnp.asarray(START), cs2.U)
+    np.testing.assert_allclose(np.asarray(s_e), np.asarray(s_ref),
+                               rtol=1e-6)
+
+
+def test_ensemble_fused_solver_rejects_indivisible():
+    from autorally_tpu.solver import EnsembleMPPISolver
+
+    base = NeuralNetDynamics(0.02)
+    with pytest.raises(ValueError, match="not divisible"):
+        EnsembleMPPISolver(base, MPPICost(),
+                           MPPIConfig(num_rollouts=100, num_timesteps=8),
+                           num_members=8)

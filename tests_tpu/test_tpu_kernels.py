@@ -390,3 +390,97 @@ def test_gamma_override_on_tpu_paths():
     b, sb = sp_rng_sta.solve(params, cp, cm, START, cs)
     np.testing.assert_array_equal(np.asarray(a.U), np.asarray(b.U))
     np.testing.assert_array_equal(np.asarray(sa.ess), np.asarray(sb.ess))
+
+
+def test_ensemble_fused_solver_on_tpu():
+    """EnsembleMPPISolver (per-member fused exact-costmap kernels) vs the
+    EnsembleDynamics vmap/scan path, 8 members at operating scale: the
+    launcher-level member split must preserve the block semantics on the
+    real kernels (BASELINE config #5's single-chip row)."""
+    from autorally_tpu.models import EnsembleDynamics
+    from autorally_tpu.models.ensemble import stack_params
+    from autorally_tpu.solver import EnsembleMPPISolver
+
+    M, K, T = 8, 2048, 32
+    cfg = MPPIConfig(num_rollouts=K, num_timesteps=T, exact_fused=True)
+    data, xb, yb = oval_track(ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    base = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    p0 = base.load_params(NN_NPZ)
+    rng = np.random.RandomState(11)
+    members = [{
+        "weights": [W + (0.0 if m == 0 else 0.1) * jnp.asarray(
+            rng.randn(*W.shape).astype(np.float32)) for W in p0["weights"]],
+        "biases": [b + (0.0 if m == 0 else 0.1) * jnp.asarray(
+            rng.randn(*b.shape).astype(np.float32)) for b in p0["biases"]],
+        "control_rngs": p0["control_rngs"],
+    } for m in range(M)]
+    stacked = stack_params(members)
+
+    fused = EnsembleMPPISolver(base, MPPICost(), cfg, num_members=M)
+    assert fused.use_pallas_rollout, "fused member path not engaged on TPU"
+    scan_cfg = cfg.replace(use_pallas_rollout=False)
+    ref = MPPISolver(EnsembleDynamics(base, M), MPPICost(), scan_cfg)
+
+    eps = jax.random.normal(jax.random.PRNGKey(9), (T, K, 2),
+                            dtype=jnp.float32)
+    U = fused.init_state().U
+    t_f, _, c_f = jax.jit(
+        lambda e: fused.rollout_costs(stacked, CostParams(), cm, START,
+                                      U, e))(eps)
+    t_r, _, c_r = jax.jit(
+        lambda e: ref.rollout_costs(stacked, CostParams(), cm, START,
+                                    U, e))(eps)
+    assert (np.asarray(c_f) == np.asarray(c_r)).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(t_f), np.asarray(t_r),
+                               rtol=2e-4, atol=1e-3)
+    U_f, st_f = jax.jit(
+        lambda e: fused.iterate(stacked, CostParams(), cm, START, U, e))(eps)
+    U_r, st_r = jax.jit(
+        lambda e: ref.iterate(stacked, CostParams(), cm, START, U, e))(eps)
+    np.testing.assert_allclose(np.asarray(U_f), np.asarray(U_r),
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(float(st_f.ess), float(st_r.ess), rtol=1e-3)
+
+
+def test_colored_noise_solve_on_tpu():
+    """Colored/OU noise through the HARDWARE hot path (BASELINE config
+    #4's sampling half): the host-sampled correlated noise feeds the
+    fused exact-costmap chain kernel — rollout_costs takes eps
+    explicitly, so the kernel is sampler-agnostic — and the fused path
+    must match the scan path under the same draws.  The kernel-RNG
+    (nothing-in-HBM) mode stays gaussian-only by design: the in-kernel
+    Mosaic PRNG generates white draws; a horizon-correlated spectrum
+    needs the whole (T,) axis at once, which is exactly the host-noise
+    path (the fallback's cost is quantified in EVAL.md)."""
+    from autorally_tpu.ops.sampling import colored_noise, ou_noise
+
+    sp, params, cp, cm, cfg = build(pallas=True, exact_fused=True)
+    ss, *_ = build(pallas=False)
+    for sampler, kwargs in ((colored_noise, {"beta": 1.0}),
+                            (ou_noise, {"theta": 0.15})):
+        eps = sampler(jax.random.PRNGKey(21), (100, 1920, 2), **kwargs)
+        U = sp.init_state().U
+        Up, stp = jax.jit(
+            lambda e: sp.iterate(params, cp, cm, START, U, e))(eps)
+        Us, sts = jax.jit(
+            lambda e: ss.iterate(params, cp, cm, START, U, e))(eps)
+        np.testing.assert_allclose(np.asarray(Up), np.asarray(Us),
+                                   rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(float(stp.ess), float(sts.ess),
+                                   rtol=1e-3)
+
+    # full jitted solve with the sampler wired through the config: the
+    # fused kernels stay engaged and the solve is finite + reproducible
+    cfg_c = MPPIConfig(num_rollouts=1920, num_timesteps=100,
+                       exact_fused=True, noise_sampler="colored",
+                       noise_param=1.0)
+    sc = MPPISolver(sp.model, sp.cost, cfg_c)
+    assert sc.use_pallas_rollout
+    assert not sc._use_kernel_rng(cm)        # gaussian-only gate holds
+    cs = sc.init_state()
+    cs_a, st_a = sc.solve(params, cp, cm, START, cs)
+    cs_b, st_b = sc.solve(params, cp, cm, START, cs)
+    assert np.isfinite(np.asarray(cs_a.U)).all()
+    np.testing.assert_array_equal(np.asarray(cs_a.U), np.asarray(cs_b.U))
+    assert float(st_a.ess) > 1.0
