@@ -28,27 +28,54 @@ def gaussian_noise(key: jax.Array, shape: Tuple[int, int, int]) -> jnp.ndarray:
     return jax.random.normal(key, shape, dtype=jnp.float32)
 
 
+def _irfft_basis(T: int, beta: float):
+    """Scaled inverse-real-DFT basis matrices (numpy, trace-time const).
+
+    Returns ``(cosM, sinM)`` of shape (T, nf) such that for a half
+    spectrum ``re + i*im`` the signal ``x = cosM @ re - sinM @ im``
+    equals ``irfft((re + i*im) * scale, n=T, axis=0)`` with the 1/f^beta
+    amplitude ``scale`` folded in.  The horizon T is ~100, so frequency
+    shaping as a (T, nf) matmul is both backend-independent (the axon
+    TPU runtime has no FFT op — measured round 5) and MXU-friendly;
+    an FFT would win only at T in the thousands.
+    """
+    import numpy as np
+
+    nf = T // 2 + 1
+    freqs = np.fft.rfftfreq(T, d=1.0)
+    scale = np.empty(nf)
+    scale[1:] = freqs[1:] ** (-beta / 2.0)
+    # match white-noise DC handling: keep DC at the f_min scale
+    scale[0] = freqs[1] ** (-beta / 2.0)
+    # inverse-DFT coefficients: interior bins count twice (conjugate
+    # pair), DC once, Nyquist (T even) once
+    coef = np.full(nf, 2.0)
+    coef[0] = 1.0
+    if T % 2 == 0:
+        coef[-1] = 1.0
+    t = np.arange(T)[:, None]
+    ang = 2.0 * np.pi * t * freqs[None, :]
+    w = (coef * scale / T)[None, :]
+    return ((np.cos(ang) * w).astype(np.float32),
+            (np.sin(ang) * w).astype(np.float32))
+
+
 def colored_noise(key: jax.Array, shape: Tuple[int, int, int],
                   beta: float = 1.0) -> jnp.ndarray:
     """1/f^beta colored noise along the horizon axis, unit variance.
 
-    Frequency-domain shaping: white spectrum scaled by f^{-beta/2}, then
-    inverse real FFT over T.  beta=0 -> white; beta=1 pink; beta=2 red
-    (random-walk-like, smooth perturbations).
+    Frequency-domain shaping: white half-spectrum scaled by f^{-beta/2},
+    inverse real DFT over T (as an MXU matmul against a precomputed
+    (T, nf) basis — see :func:`_irfft_basis`).  beta=0 -> white; beta=1
+    pink; beta=2 red (random-walk-like, smooth perturbations).
     """
     T, K, C = shape
     nf = T // 2 + 1
     key_r, key_i = jax.random.split(key)
-    freqs = jnp.fft.rfftfreq(T, d=1.0)
-    scale = jnp.where(freqs > 0, freqs ** (-beta / 2.0), 0.0)
-    # match white-noise DC handling: keep DC at the f_min scale
-    f_min = freqs[1]
-    scale = scale.at[0].set(f_min ** (-beta / 2.0))
-
-    re = jax.random.normal(key_r, (nf, K, C), dtype=jnp.float32)
-    im = jax.random.normal(key_i, (nf, K, C), dtype=jnp.float32)
-    spec = (re + 1j * im) * scale[:, None, None]
-    x = jnp.fft.irfft(spec, n=T, axis=0).astype(jnp.float32)
+    cosM, sinM = _irfft_basis(T, beta)
+    re = jax.random.normal(key_r, (nf, K * C), dtype=jnp.float32)
+    im = jax.random.normal(key_i, (nf, K * C), dtype=jnp.float32)
+    x = (jnp.asarray(cosM) @ re - jnp.asarray(sinM) @ im).reshape(T, K, C)
     # unit per-sample second moment (rms, not mean-removed std: the DC
     # offset is part of the exploration signal)
     rms = jnp.sqrt(jnp.mean(x * x, axis=0, keepdims=True))

@@ -291,7 +291,9 @@ def run_realtime_gate_async(pose_port: int = 47980,
                             adaptive_depth: bool = True,
                             max_depth: Optional[int] = None,
                             warmup_iters: int = 12,
-                            attempts: int = 6) -> dict:
+                            attempts: int = 6,
+                            noise_sampler: str = "gaussian",
+                            noise_param: float = 1.0) -> dict:
     """Realtime gate over the ASYNC-dispatch loop at the reference
     operating point (K=1920, T=100) on the default backend (TPU when
     present).
@@ -341,7 +343,8 @@ def run_realtime_gate_async(pose_port: int = 47980,
     # minutes-scale uncached, so the sim's lifetime budgets for the
     # warmup compile, not for framework construction
     cfg = MPPIConfig(num_rollouts=num_rollouts,
-                     num_timesteps=num_timesteps, hz=hz)
+                     num_timesteps=num_timesteps, hz=hz,
+                     noise_sampler=noise_sampler, noise_param=noise_param)
     data, xb, yb = oval_track(ppm=2.0)
     cm = make_costmap(data, xb, yb)
     model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)

@@ -55,6 +55,14 @@ def main():
     ap.add_argument("--bf", action="store_true",
                     help="basis-function dynamics (path_integral_bf role; "
                          "reference default K=2560)")
+    ap.add_argument("--noise", choices=("gaussian", "colored", "ou"),
+                    default="gaussian",
+                    help="exploration-noise sampler (ops/sampling.py): "
+                         "the reference protocol is white gaussian; "
+                         "colored (1/f^beta) and OU explore smoother "
+                         "perturbations (BASELINE config #4)")
+    ap.add_argument("--noise-param", type=float, default=1.0,
+                    help="beta for colored noise / theta for OU")
     ap.add_argument("--track",
                     choices=("oval", "winding", "ccrf", "marietta"),
                     default="oval",
@@ -88,7 +96,9 @@ def main():
     from autorally_tpu.tools.track_generator import oval_track
 
     cfg = MPPIConfig(num_rollouts=args.rollouts,
-                     num_timesteps=args.timesteps)
+                     num_timesteps=args.timesteps,
+                     noise_sampler=args.noise,
+                     noise_param=args.noise_param)
     crossings_per_lap = 2
     if args.track == "ccrf":
         from autorally_tpu.tools.track_generator import (CCRF_LAP_LINE,
@@ -149,7 +159,9 @@ def main():
                            "weights": [W * (1 + args.mismatch)
                                        for W in params["weights"]]}
     print(f"feedback_gains={args.feedback} pose_substeps="
-          f"{args.pose_substeps} mismatch={args.mismatch}")
+          f"{args.pose_substeps} mismatch={args.mismatch} "
+          f"noise={args.noise}"
+          + (f"({args.noise_param})" if args.noise != "gaussian" else ""))
 
     start = np.array([start_pose[0], start_pose[1], start_pose[2],
                       0, 0, 0, 0], dtype=np.float32)
