@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import time
 
 
@@ -49,48 +48,18 @@ def steer_gain_params(params, gain: float, column: str = "steer"):
 def run_arm(runner, params_ctrl, cost_params, cm, start, params_true,
             seed, lap_line, crossings_per_lap, dt, boundary_threshold):
     import jax
-    import numpy as np
 
-    from autorally_tpu.runtime.telemetry import LapStats
+    from autorally_tpu.tools.lap_eval import episode_metrics
 
     t0 = time.time()
     res = runner.run(params_ctrl, cost_params, cm, start,
                      params_true=params_true,
                      seed_a=2 * seed, seed_p=2 * seed + 1)
     jax.block_until_ready(res)
-    wall = time.time() - t0
-
-    states = np.asarray(res.states)
-    laps = LapStats(line=lap_line)
-    for i, s in enumerate(states):
-        laps.process_pose(i * dt, s[0], s[1], s[4], s[5])
-    segs = [r.lap_time for r in laps.laps]
-    full = (segs if crossings_per_lap == 1
-            else [segs[i] + segs[i + 1] for i in range(0, len(segs) - 1, 2)])
-
-    # plant-level off-track fraction: the costmap's own crash criterion
-    # (getTrackCost, costs.cu:389-391) applied to the executed trajectory,
-    # via the texture-semantics lookup the solver itself uses
-    import jax.numpy as jnp
-
-    vals = np.asarray(cm.lookup_ch0(jnp.asarray(states[:, 0]),
-                                    jnp.asarray(states[:, 1])))
-    off = vals >= boundary_threshold
-
-    settle = min(200, len(states) // 2)
-    return {
-        "laps": len(full),
-        "lap_times_s": [round(t, 2) for t in full],
-        "best_lap_s": round(min(full), 2) if full else None,
-        "mean_speed": round(float(states[settle:, 4].mean()), 3),
-        "max_speed": round(float(states[:, 4].max()), 3),
-        "offtrack_frac": round(float(off.mean()), 4),
-        "offtrack_ticks": int(off.sum()),
-        "rollout_crash_frac": round(
-            float(np.asarray(res.crash_frac).mean()), 4),
-        "mean_ess": round(float(np.asarray(res.ess).mean()), 1),
-        "wall_s": round(wall, 1),
-    }
+    m = episode_metrics(res, cm, lap_line, crossings_per_lap, dt,
+                        boundary_threshold)
+    m["wall_s"] = round(time.time() - t0, 1)
+    return m
 
 
 def main(argv=None):
@@ -126,36 +95,19 @@ def main(argv=None):
 
     from autorally_tpu.config import CostParams, MPPIConfig
     from autorally_tpu.costs import MPPICost
-    from autorally_tpu.costs.costmap import make_costmap
     from autorally_tpu.models import NeuralNetDynamics
     from autorally_tpu.models.ensemble import stack_params
     from autorally_tpu.runtime.episode import EpisodeRunner
     from autorally_tpu.solver import EnsembleMPPISolver, MPPISolver
-    from autorally_tpu.tools.track_generator import oval_track
 
     NN_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
               "models/autorally_nnet_09_12_2018.npz")
 
     cfg = MPPIConfig(num_rollouts=args.rollouts,
                      num_timesteps=args.timesteps)
-    if args.track == "ccrf":
-        from autorally_tpu.tools.track_generator import (CCRF_LAP_LINE,
-                                                         CCRF_START,
-                                                         ccrf_track)
-        data, xb, yb = ccrf_track(ppm=10.0)
-        start_pose, lap_line, xings = CCRF_START, CCRF_LAP_LINE, 1
-    elif args.track == "marietta":
-        from autorally_tpu.tools.track_generator import (MARIETTA_LAP_LINE,
-                                                         MARIETTA_START,
-                                                         marietta_track)
-        data, xb, yb = marietta_track(ppm=10.0)
-        start_pose, lap_line, xings = MARIETTA_START, MARIETTA_LAP_LINE, 1
-    else:
-        data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
-                                  track_width=6.0, ppm=10.0)
-        start_pose, lap_line, xings = ((30.0, 0.0, math.pi / 2),
-                                       (0.0, 0.0, 25.0, 35.0), 2)
-    cm = make_costmap(data, xb, yb)
+    from autorally_tpu.tools.lap_eval import load_track
+
+    cm, start_pose, lap_line, xings = load_track(args.track)
 
     model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
     params = model.load_params(NN_NPZ)

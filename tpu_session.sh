@@ -18,7 +18,7 @@ OUT=${1:-/tmp/tpu_session_$(date -u +%Y%m%dT%H%M%S)}
 mkdir -p "$OUT"
 echo "logs -> $OUT"
 
-echo "== 1/6 probe =="
+echo "== 1/8 probe =="
 if ! timeout 180 python -c "import jax; print(jax.devices())" \
       > "$OUT/probe.log" 2>&1; then
   echo "tunnel DOWN (probe timed out / failed) — see $OUT/probe.log"
@@ -26,14 +26,14 @@ if ! timeout 180 python -c "import jax; print(jax.devices())" \
 fi
 cat "$OUT/probe.log"
 
-echo "== 2/6 tests_tpu =="
+echo "== 2/8 tests_tpu =="
 timeout 5400 python -m pytest tests_tpu/ -q 2>&1 | tee "$OUT/tests_tpu.log" \
   | tail -15
 
-echo "== 3/6 bench =="
+echo "== 3/8 bench =="
 timeout 5400 python bench.py 2>"$OUT/bench.err" | tee "$OUT/bench.json" | tail -3
 
-echo "== 4/6 solve breakdown (sharded-gap forensics) =="
+echo "== 4/8 solve breakdown (sharded-gap forensics) =="
 for flags in "" "--kernel-rng" "--bf"; do
   timeout 1200 python -m autorally_tpu.tools.solve_breakdown $flags \
     2>&1 | tee -a "$OUT/breakdown.log"
@@ -41,24 +41,56 @@ done
 timeout 1800 python -m autorally_tpu.tools.scaling_bench \
   2>&1 | tee "$OUT/scaling.log" | tail -5 || true
 
-echo "== 5/6 tube realtime gate at K=32768 (50 Hz @ 17x samples) =="
-timeout 2400 python -c "
+ROUND=${ROUND:-05}
+
+echo "== 5/8 tube realtime gates -> GATE_r$ROUND.json =="
+# two deployment gates: the K=32768 gaussian tube (the round-4 50 Hz
+# proof) and BASELINE config #4's K=65536 tube with COLORED noise —
+# both through the adaptive-depth async loop against the real chip.
+timeout 4800 python -c "
 import json
 from autorally_tpu.io.compile_cache import enable_persistent_cache
 enable_persistent_cache()
 from autorally_tpu.runtime.realtime_gate import run_realtime_gate_async
+gates = []
 res = run_realtime_gate_async(pose_port=48040, control_port=48041,
                               seconds=3.0, num_rollouts=32768,
                               num_timesteps=100, depth=4,
                               adaptive_depth=True, warmup_iters=20)
-print(json.dumps(res))
-" 2>"$OUT/gate_k32768.err" | tee "$OUT/gate_k32768.json" | tail -1 || true
+gates.append({'name': 'tube_k32768_gaussian', 'result': res})
+res = run_realtime_gate_async(pose_port=48050, control_port=48051,
+                              seconds=3.0, num_rollouts=65536,
+                              num_timesteps=100, depth=4,
+                              adaptive_depth=True, warmup_iters=20,
+                              noise_sampler='colored', noise_param=1.0)
+gates.append({'name': 'tube_k65536_colored', 'result': res})
+print(json.dumps({'artifact': 'gate', 'round': int('$ROUND'),
+                  'gates': gates}))
+" 2>"$OUT/gate.err" | tee "$OUT/gate.json" | tail -1 || true
+tail -1 "$OUT/gate.json" | grep -q '"artifact": "gate"' \
+  && tail -1 "$OUT/gate.json" > "GATE_r$ROUND.json"
 
-echo "== 6/6 ESS-tuner demo (live temperature, host + on-device) =="
+echo "== 6/8 lap suite -> LAPS_r$ROUND.json =="
+timeout 5400 python -m autorally_tpu.tools.lap_suite \
+  --round "${ROUND#0}" --out "$OUT/laps.json" \
+  > /dev/null 2>"$OUT/laps.err" || true
+[ -s "$OUT/laps.json" ] && cp "$OUT/laps.json" "LAPS_r$ROUND.json"
+
+echo "== 7/8 ensemble A/B -> ENSEMBLE_r$ROUND.json =="
+timeout 3600 python -m autorally_tpu.tools.ensemble_ab \
+  --ticks 3000 --rollouts 4096 --members 8 --seeds 3 --track ccrf \
+  --desired-speed 11 --true-gain 0.5 --gain-lo 0.4 --gain-hi 1.2 \
+  2>"$OUT/ensemble.err" | tee "$OUT/ensemble.json" | tail -1 || true
+tail -1 "$OUT/ensemble.json" | grep -q '"config"' \
+  && tail -1 "$OUT/ensemble.json" > "ENSEMBLE_r$ROUND.json"
+
+echo "== 8/8 ESS-tuner demo (live temperature, host + on-device) =="
 timeout 1800 python -m autorally_tpu.tools.ess_demo --mode host \
   --ticks 150 2>"$OUT/ess_host.err" | tee "$OUT/ess_host.json" | tail -1 || true
 timeout 1800 python -m autorally_tpu.tools.ess_demo --mode episode \
   --ticks 1000 2>"$OUT/ess_episode.err" \
   | tee "$OUT/ess_episode.json" | tail -1 || true
 
-echo "== done — logs in $OUT =="
+echo "== done — logs in $OUT; versioned artifacts GATE_r$ROUND.json" \
+     "LAPS_r$ROUND.json ENSEMBLE_r$ROUND.json (validate via" \
+     "tests/test_artifacts.py) =="
