@@ -67,8 +67,24 @@ def validate_ensemble(d: dict) -> None:
         assert isinstance(d[f"{arm}_summary"], dict)
 
 
+def validate_scaling(d: dict) -> None:
+    assert d["artifact"] == "scaling_forecast"
+    assert _is_num(d["payload_bytes"])
+    assert _is_num(d["fit"]["chain_floor_ms"])
+    assert _is_num(d["fit"]["ms_per_rollout"])
+    assert isinstance(d["forecast"], dict) and d["forecast"]
+    for per_k in d["forecast"].values():
+        for fab in ("ici", "dcn"):
+            assert isinstance(per_k[fab], list) and per_k[fab]
+            for r in per_k[fab]:
+                assert _is_num(r["efficiency"]) and _is_num(r["t_n_ms"])
+    v = d["validation"]
+    assert isinstance(v["measured_per_iter_us"], dict)
+    assert _is_num(v["max_shape_rel_err"])
+
+
 VALIDATORS = {"LAPS": validate_laps, "GATE": validate_gate,
-              "ENSEMBLE": validate_ensemble}
+              "ENSEMBLE": validate_ensemble, "SCALING": validate_scaling}
 
 
 @pytest.mark.parametrize("kind", sorted(VALIDATORS))
