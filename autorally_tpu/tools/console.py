@@ -161,6 +161,20 @@ class ConsoleState:
                         f"accel {acc.get('device_count',0)}x"
                         f"{acc.get('platform','?')}", color))
 
+        image, st = self._get("image", now)
+        if image and image.get("ascii"):
+            # the OCS image view, terminal edition: ASCII luminance
+            # frames from the ImageRepublisher (vision/scene_camera.py)
+            hdr = (f"camera  msv={image.get('msv', 0):5.1f}  "
+                   f"shutter={image.get('shutter', 0):7.1f}  "
+                   f"gain={image.get('gain', 0):5.2f}"
+                   + ("  [STALE]" if st else ""))
+            L.append(_c("stale" if st else "ok", hdr, color))
+            dimc = DIM if color else ""
+            rst = RESET if color else ""
+            for row in image["ascii"][:16]:
+                L.append(dimc + "  |" + str(row)[: width - 6] + "|" + rst)
+
         L.append(DIM + "[r] toggle runstop   [q] quit" + RESET
                  if color else "[r] toggle runstop   [q] quit")
         return "\n".join(L)

@@ -57,6 +57,11 @@ def main():
                     help="UDP port to accept runstop commands on")
     ap.add_argument("--log", default=None,
                     help="append telemetry records to this JSONL run log")
+    ap.add_argument("--camera", action="store_true",
+                    help="attach the synthetic scene camera: rendered "
+                         "frames from the car's pose drive the MSV "
+                         "exposure loop and the republished ASCII view "
+                         "on the console's image panel")
     ap.add_argument("--async-loop", action="store_true", dest="async_loop",
                     help="pipelined async-dispatch loop (the whole tube "
                          "tick as one device program, `--depth` solves in "
@@ -157,6 +162,37 @@ def main():
             args.runstop_port,
             on_change=lambda en: plant.set_runstop(not en))
 
+    # scene camera: render -> exposure control -> rate-limited republish
+    # (CameraAutoBalance + ImageRepublisher consumers fed by a real
+    # producer, vision/scene_camera.py)
+    camera = balance = republisher = None
+    if args.camera:
+        from autorally_tpu.vision.auto_balance import (AutoBalanceConfig,
+                                                       CameraAutoBalance)
+        from autorally_tpu.vision.image_republisher import ImageRepublisher
+        from autorally_tpu.vision.scene_camera import (SceneCamera,
+                                                       SceneConfig,
+                                                       SceneRenderer,
+                                                       ascii_frame)
+
+        camera = SceneCamera(SceneRenderer(cm, SceneConfig(
+            width=160, height=120,
+            shadows=((0.0, 18.0, 10.0, 0.25),))))   # shaded north bend
+        balance = CameraAutoBalance(camera, AutoBalanceConfig(
+            roi=(0, 60, 160, 120), k_shutter=2e-3, k_gain=2e-3,
+            max_shutter=30000.0))
+
+        def _forward(small, ts):
+            if bus is not None:
+                bus.publish("image", {
+                    "ascii": ascii_frame(small),
+                    "msv": round(balance.cfg.msv_reference
+                                 - balance.msv_error, 1),
+                    "shutter": round(balance.shutter, 1),
+                    "gain": round(balance.gain, 3)})
+
+        republisher = ImageRepublisher(_forward, max_hz=5.0, scale=2)
+
     from autorally_tpu.runtime.telemetry import TimingStats
     timing = TimingStats()
 
@@ -168,6 +204,10 @@ def main():
 
     def on_tick(i, chosen, used, state):
         used_counts[used] += 1
+        if camera is not None:
+            frame = camera.capture((state[0], state[1], state[2]))
+            balance.process_frame(frame)
+            republisher.process(frame)
         rec = laps.process_pose(plant.sim_time, state[0], state[1],
                                 state[4], state[5])
         if rec:
