@@ -44,10 +44,14 @@ timeout 1800 python -m autorally_tpu.tools.scaling_bench \
 ROUND=${ROUND:-05}
 
 echo "== 5/8 tube realtime gates -> GATE_r$ROUND.json =="
-# two deployment gates: the K=32768 gaussian tube (the round-4 50 Hz
-# proof) and BASELINE config #4's K=65536 tube with COLORED noise —
-# both through the adaptive-depth async loop against the real chip.
-timeout 4800 python -c "
+# three deployment gates through the adaptive-depth async loop against
+# the real chip: the K=32768 gaussian tube (the round-4 50 Hz proof),
+# the same K with COLORED noise (BASELINE config #4's sampling at the
+# largest tube-feasible K — a tube is TWO 8 ms solves per tick, so
+# K=65536's 2x16 ms device work cannot sustain the 20 ms period on one
+# chip), and the K=65536 colored tube anyway, recording the honest
+# boundary (expected: deadline misses / elevated solution age).
+timeout 7200 python -c "
 import json
 from autorally_tpu.io.compile_cache import enable_persistent_cache
 enable_persistent_cache()
@@ -59,11 +63,17 @@ res = run_realtime_gate_async(pose_port=48040, control_port=48041,
                               adaptive_depth=True, warmup_iters=20)
 gates.append({'name': 'tube_k32768_gaussian', 'result': res})
 res = run_realtime_gate_async(pose_port=48050, control_port=48051,
+                              seconds=3.0, num_rollouts=32768,
+                              num_timesteps=100, depth=4,
+                              adaptive_depth=True, warmup_iters=20,
+                              noise_sampler='colored', noise_param=1.0)
+gates.append({'name': 'tube_k32768_colored', 'result': res})
+res = run_realtime_gate_async(pose_port=48060, control_port=48061,
                               seconds=3.0, num_rollouts=65536,
                               num_timesteps=100, depth=4,
                               adaptive_depth=True, warmup_iters=20,
                               noise_sampler='colored', noise_param=1.0)
-gates.append({'name': 'tube_k65536_colored', 'result': res})
+gates.append({'name': 'tube_k65536_colored_boundary', 'result': res})
 print(json.dumps({'artifact': 'gate', 'round': int('$ROUND'),
                   'gates': gates}))
 " 2>"$OUT/gate.err" | tee "$OUT/gate.json" | tail -1 || true
