@@ -161,6 +161,66 @@ class SceneCamera:
         return np.clip(level + noise, 0, 255).astype(np.uint8)
 
 
+def project_points(renderer: SceneRenderer, cam_pose: Sequence[float],
+                   world_xy: np.ndarray) -> np.ndarray:
+    """Project world ground points into pixel coordinates.
+
+    ``world_xy``: (N, 2).  Returns (N, 3) columns [u, v, visible] —
+    the inverse of the rasterizer's ray-ground intersection, used to
+    overlay the planned trajectory on rendered frames (the OCS image
+    masks role, ``autorally_core/src/ocs/``).
+    """
+    c = renderer.cfg
+    x0, y0, yaw = (float(cam_pose[0]), float(cam_pose[1]),
+                   float(cam_pose[2]))
+    dx = world_xy[:, 0] - x0
+    dy = world_xy[:, 1] - y0
+    cy, sy = math.cos(yaw), math.sin(yaw)
+    fwd = dx * cy + dy * sy                     # camera-frame forward
+    rgt = dx * sy - dy * cy                     # right-hand (sin, -cos)
+    sp, cp = math.sin(renderer._pitch), math.cos(renderer._pitch)
+    h = c.cam_height
+    # invert the rasterizer's ray-ground mapping: with ray components
+    # dz = v*cp + sp (down), dx_c = cp - v*sp (forward), dy_c = u and
+    # ground hit t = h/dz, fwd = t*dx_c, rgt = t*u:
+    #   v = (h*cp - fwd*sp) / (fwd*cp + h*sp)
+    #   u = rgt * (v*cp + sp) / h
+    denom = fwd * cp + h * sp
+    safe = denom > 1e-6
+    v_t = np.where(safe, (h * cp - fwd * sp) / np.where(safe, denom, 1.0),
+                   0.0)
+    u_t = rgt * (v_t * cp + sp) / h
+    H, W = c.height, c.width
+    f = (W / 2.0) / math.tan(math.radians(c.hfov_deg) / 2.0)
+    u_px = u_t * f + (W - 1) / 2.0
+    v_px = v_t * f + (H - 1) / 2.0
+    vis = (safe & (fwd > 0.2) & (u_px >= 0) & (u_px < W)
+           & (v_px >= 0) & (v_px < H))
+    return np.stack([u_px, v_px, vis.astype(np.float64)], axis=1)
+
+
+PATH_COLOR = np.array([60, 240, 60], dtype=np.uint8)     # BGR green
+
+
+def draw_path(frame: np.ndarray, renderer: SceneRenderer,
+              cam_pose: Sequence[float], states: np.ndarray,
+              thickness: int = 1) -> np.ndarray:
+    """Overlay the nominal trajectory (``state_solution`` (T, S) or any
+    (N, >=2) world path) on a rendered frame — the reference publishes
+    its nominal path for display (``autorally_plant.cpp:311-351``); here
+    it lands IN the camera view.  Returns a copy with the overlay."""
+    out = frame.copy()
+    pts = project_points(renderer, cam_pose, np.asarray(states)[:, :2])
+    H, W = out.shape[:2]
+    for u, v, vis in pts:
+        if not vis:
+            continue
+        x0, x1 = max(int(u) - thickness, 0), min(int(u) + thickness + 1, W)
+        y0, y1 = max(int(v) - thickness, 0), min(int(v) + thickness + 1, H)
+        out[y0:y1, x0:x1] = PATH_COLOR
+    return out
+
+
 ASCII_RAMP = " .:-=+*#%@"
 
 

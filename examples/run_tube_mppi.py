@@ -205,8 +205,20 @@ def main():
     def on_tick(i, chosen, used, state):
         used_counts[used] += 1
         if camera is not None:
-            frame = camera.capture((state[0], state[1], state[2]))
-            balance.process_frame(frame)
+            from autorally_tpu.vision.scene_camera import draw_path
+
+            pose = (state[0], state[1], state[2])
+            frame = camera.capture(pose)
+            balance.process_frame(frame)          # exposure sees raw frame
+            # republished view carries the chosen plan overlay (the OCS
+            # image-mask role): nominal trajectory projected into the view
+            sol = getattr(getattr(chosen, "cs", None), "state_solution",
+                          None)
+            if sol is None:                        # async shim: TubeTickOutput
+                sol = getattr(chosen.stats, "state_solution", None)
+            if sol is not None:
+                frame = draw_path(frame, camera.renderer, pose,
+                                  np.asarray(sol))
             republisher.process(frame)
         rec = laps.process_pose(plant.sim_time, state[0], state[1],
                                 state[4], state[5])

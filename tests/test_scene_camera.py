@@ -133,3 +133,61 @@ def test_frames_flow_to_console_image_panel(costmap):
     mean_level = lambda s: np.mean([ramp.index(c) for c in s.strip("|  ")
                                     if c in ramp])
     assert mean_level(rows[0]) > mean_level(rows[-1])
+
+
+def test_projection_inverts_rasterizer(costmap):
+    """project_points must invert the renderer's ray-ground mapping:
+    ground points synthesized FROM pixel rays land back on their own
+    pixels."""
+    import math as m
+
+    from autorally_tpu.vision.scene_camera import project_points
+
+    cfg = SceneConfig(width=160, height=120)
+    r = SceneRenderer(costmap, cfg)
+    pose = (30.0, 0.0, m.pi / 2)
+    sp, cp = m.sin(r._pitch), m.cos(r._pitch)
+    # pick below-horizon pixels and rebuild their world ground points
+    px = [(40, 90), (80, 100), (120, 80), (80, 119)]
+    f = (cfg.width / 2.0) / m.tan(m.radians(cfg.hfov_deg) / 2.0)
+    world = []
+    for (ux, vy) in px:
+        u_t = (ux - (cfg.width - 1) / 2.0) / f
+        v_t = (vy - (cfg.height - 1) / 2.0) / f
+        dz = v_t * cp + sp
+        t = cfg.cam_height / dz
+        fwd, rgt = t * (cp - v_t * sp), t * u_t
+        cy, sy = m.cos(pose[2]), m.sin(pose[2])
+        world.append([pose[0] + fwd * cy + rgt * sy,
+                      pose[1] + fwd * sy - rgt * cy])
+    pts = project_points(r, pose, np.array(world))
+    assert pts[:, 2].all(), "synthesized ground points not visible"
+    got = pts[:, :2]
+    want = np.array(px, dtype=float)
+    np.testing.assert_allclose(got, want, atol=0.51)
+
+
+def test_draw_path_overlays_plan(costmap):
+    """The nominal trajectory ahead of the car must appear as overlay
+    pixels in the frame (the OCS image-mask role)."""
+    import math as m
+
+    from autorally_tpu.vision.scene_camera import PATH_COLOR, draw_path
+
+    r = SceneRenderer(costmap, SceneConfig(width=160, height=120))
+    cam = SceneCamera(r)
+    cam.set_shutter(1000.0)
+    cam.set_gain(0.5)
+    pose = (30.0, 0.0, m.pi / 2)
+    frame = cam.capture(pose)
+    # a straight 10 m plan ahead (along +y), like a state_solution
+    ys = np.linspace(1.0, 10.0, 25)
+    states = np.stack([np.full_like(ys, 30.0), ys], axis=1)
+    out = draw_path(frame, r, pose, states)
+    marked = (out == PATH_COLOR).all(axis=2)
+    assert marked.sum() >= 20, "path overlay missing"
+    assert not (frame == PATH_COLOR).all(axis=2).any()
+    # the plan recedes toward the horizon: marked rows span a vertical
+    # range ending above the bottom edge
+    rows = np.where(marked.any(axis=1))[0]
+    assert rows.max() - rows.min() > 20
