@@ -87,6 +87,18 @@ class Costmap:
         return cls(data, ch0.reshape(H * (Wp // row_lanes), row_lanes),
                    r_c1, r_c2, trs, exact_map_tiles(data[..., 0]))
 
+    @property
+    def bounds(self) -> Tuple[Tuple[float, float], Tuple[float, float]]:
+        """((xmin, xmax), (ymin, ymax)) world bounds — inverse of the
+        axis-aligned transform built by :func:`make_costmap`."""
+        import numpy as np
+
+        r1 = float(np.asarray(self.r_c1)[0])
+        r2 = float(np.asarray(self.r_c2)[1])
+        t = np.asarray(self.trs)
+        xmin, ymin = -float(t[0]) / r1, -float(t[1]) / r2
+        return (xmin, xmin + 1.0 / r1), (ymin, ymin + 1.0 / r2)
+
     def world_to_norm(self, x: jnp.ndarray, y: jnp.ndarray
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Projective transform of world (x, y) to normalized map coords

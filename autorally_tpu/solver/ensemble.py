@@ -40,6 +40,20 @@ from autorally_tpu.models.ensemble import EnsembleDynamics, member_params
 from autorally_tpu.solver.mppi import MPPISolver
 
 
+class _MemberSolver(MPPISolver):
+    """Per-member solver: kernel decisions (Pallas lane alignment) key
+    off the member's K/M block size, while ``cfg.num_rollouts`` stays
+    the GLOBAL K so the noise-free / pure-noise masks keep their global
+    numbering inside ``rollout_costs``."""
+
+    def __init__(self, model, cost, cfg, num_members: int):
+        self._num_members = int(num_members)
+        super().__init__(model, cost, cfg)
+
+    def _local_rollouts(self) -> int:
+        return self.cfg.num_rollouts // self._num_members
+
+
 class EnsembleMPPISolver(MPPISolver):
     """MPPI over M stacked parameter sets, one fused kernel per member.
 
@@ -58,9 +72,8 @@ class EnsembleMPPISolver(MPPISolver):
                 f"ensemble size {num_members}")
         self.num_members = int(num_members)
         # the per-member solver owns the fused-kernel decision (base
-        # model KERNEL_KIND, lane alignment of K/M, backend)
-        member_cfg = cfg
-        self._base_solver = MPPISolver(base, cost, member_cfg)
+        # model KERNEL_KIND, lane alignment of the K/M block, backend)
+        self._base_solver = _MemberSolver(base, cost, cfg, num_members)
         super().__init__(EnsembleDynamics(base, num_members), cost, cfg)
         # follow the member solver's backend choice: u_seq layout
         # ((C, T, K) fused vs (T, K, C) scan) and the iterate einsum spec

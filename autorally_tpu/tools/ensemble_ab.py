@@ -37,11 +37,16 @@ COLUMNS = {"steer": 4, "throttle": 5}    # MLP input order, nn model
 
 
 def steer_gain_params(params, gain: float, column: str = "steer"):
-    """Nominal params with one first-layer input column scaled — a
+    """Nominal params with one first-layer INPUT row scaled — a
     structured actuation-gain error (the real car responds to that
-    control channel more/less than the nominal model believes)."""
+    control channel more/less than the nominal model believes).
+
+    The loaded weights are input-major: ``weights[0]`` is (in=6, out)
+    (``NeuralNetDynamics.load_params`` transposes the reference's
+    ``dynamics_W1`` (out, in)), so the steering input is ROW 4 —
+    round-5 review caught the transposed first version of this."""
     W = [w for w in params["weights"]]
-    W0 = W[0].at[:, COLUMNS[column]].multiply(gain)
+    W0 = W[0].at[COLUMNS[column], :].multiply(gain)
     return {**params, "weights": [W0] + W[1:]}
 
 
@@ -100,8 +105,7 @@ def main(argv=None):
     from autorally_tpu.runtime.episode import EpisodeRunner
     from autorally_tpu.solver import EnsembleMPPISolver, MPPISolver
 
-    NN_NPZ = ("/root/reference/autorally_control/src/path_integral/params/"
-              "models/autorally_nnet_09_12_2018.npz")
+    from autorally_tpu.config import REFERENCE_NN_NPZ as NN_NPZ
 
     cfg = MPPIConfig(num_rollouts=args.rollouts,
                      num_timesteps=args.timesteps)

@@ -30,6 +30,13 @@ def load_track(name: str, ppm: float = 10.0):
                                                          marietta_track)
         data, xb, yb = marietta_track(ppm=ppm)
         start, line, xings = MARIETTA_START, MARIETTA_LAP_LINE, 1
+    elif name == "winding":
+        from autorally_tpu.tools.track_generator import spline_track
+        data, xb, yb = spline_track(track_width=6.0, ppm=ppm)
+        # start at the first waypoint, heading along the first segment;
+        # lap line = the y=0 crossing near the start
+        start, line, xings = ((0.0, 0.0, math.atan2(-2.0, 12.0)),
+                              (0.0, 0.0, -3.0, 3.0), 2)
     elif name == "oval":
         from autorally_tpu.tools.track_generator import oval_track
         data, xb, yb = oval_track(half_length=30.0, half_width=18.0,

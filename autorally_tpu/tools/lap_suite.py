@@ -36,10 +36,8 @@ def run_config(row: dict, ticks: int, seeds: int) -> list:
     from autorally_tpu.solver.mppi import MPPISolver
     from autorally_tpu.tools.lap_eval import episode_metrics, load_track
 
-    NN = ("/root/reference/autorally_control/src/path_integral/params/"
-          "models/autorally_nnet_09_12_2018.npz")
-    BF = ("/root/reference/autorally_control/src/path_integral/params/"
-          "models/basis_function_09_12_2018.npz")
+    from autorally_tpu.config import REFERENCE_BF_NPZ as BF
+    from autorally_tpu.config import REFERENCE_NN_NPZ as NN
 
     cfg = MPPIConfig(num_rollouts=row["K"], num_timesteps=row["T"],
                      noise_sampler=row.get("noise", "gaussian"),

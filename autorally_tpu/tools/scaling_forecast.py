@@ -173,10 +173,12 @@ def main(argv=None):
         # shape validation: the latency + bytes/BW model, fitted to the
         # sweep, evaluated back at each payload — the residual is how
         # linear the real transport's response actually is (congestion
-        # or per-message overheads would show up here)
+        # or per-message overheads would show up here).  bytes_=x only:
+        # the fitted intercept already absorbs the base collective
+        # pattern's ~824 B (the probe sweeps the injected pad, so adding
+        # PAYLOAD_BYTES here would double-count it — round-5 review).
         predicted = {str(x): round(
-            (t_coll_ms(2, gloo, bytes_=x + PAYLOAD_BYTES)) * 1e3, 2)
-            for x in xs}
+            (t_coll_ms(2, gloo, bytes_=x)) * 1e3, 2) for x in xs}
         doc["validation"] = {
             "transport": "gloo/TCP-loopback, 2 processes",
             "measured_per_iter_us": measured,

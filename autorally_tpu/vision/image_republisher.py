@@ -28,6 +28,13 @@ class ImageRepublisher:
         self.dropped = 0
         self._last: Optional[float] = None
 
+    def ready(self) -> bool:
+        """Whether the next :meth:`process` call would forward — lets a
+        caller skip expensive frame annotation (overlays) for frames the
+        rate cap will drop anyway."""
+        now = self.clock()
+        return self._last is None or now - self._last >= self.period
+
     def process(self, frame: np.ndarray) -> bool:
         """Forward the frame if the rate budget allows; returns whether
         it was forwarded."""

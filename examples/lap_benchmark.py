@@ -18,7 +18,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
-import math
 import time
 
 import numpy as np
@@ -88,49 +87,19 @@ def main():
     from autorally_tpu.io.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
-    from autorally_tpu.costs.costmap import make_costmap
     from autorally_tpu.models import NeuralNetDynamics
     from autorally_tpu.runtime.episode import EpisodeRunner
     from autorally_tpu.runtime.telemetry import LapStats
     from autorally_tpu.solver.mppi import MPPISolver
-    from autorally_tpu.tools.track_generator import oval_track
+    from autorally_tpu.tools.lap_eval import load_track
 
     cfg = MPPIConfig(num_rollouts=args.rollouts,
                      num_timesteps=args.timesteps,
                      noise_sampler=args.noise,
                      noise_param=args.noise_param)
-    crossings_per_lap = 2
-    if args.track == "ccrf":
-        from autorally_tpu.tools.track_generator import (CCRF_LAP_LINE,
-                                                         CCRF_START,
-                                                         ccrf_track)
-
-        data, xb, yb = ccrf_track(ppm=10.0)
-        start_pose = CCRF_START
-        lap_line = CCRF_LAP_LINE
-        crossings_per_lap = 1       # the line spans only the corridor
-    elif args.track == "marietta":
-        from autorally_tpu.tools.track_generator import (MARIETTA_LAP_LINE,
-                                                         MARIETTA_START,
-                                                         marietta_track)
-
-        data, xb, yb = marietta_track(ppm=10.0)
-        start_pose = MARIETTA_START
-        lap_line = MARIETTA_LAP_LINE
-        crossings_per_lap = 1
-    elif args.track == "winding":
-        from autorally_tpu.tools.track_generator import spline_track
-
-        data, xb, yb = spline_track(track_width=6.0, ppm=10.0)
-        # start at the first waypoint, heading along the first segment
-        start_pose = (0.0, 0.0, math.atan2(-2.0, 12.0))
-        lap_line = (0.0, 0.0, -3.0, 3.0)    # y = 0 crossing near the start
-    else:
-        data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
-                                  track_width=6.0, ppm=10.0)
-        start_pose = (30.0, 0.0, math.pi / 2)
-        lap_line = (0.0, 0.0, 25.0, 35.0)
-    cm = make_costmap(data, xb, yb)
+    # shared track setup (tools/lap_eval.py) — the same geometry and lap
+    # segmentation the LAPS_r*.json artifact suite uses
+    cm, start_pose, lap_line, crossings_per_lap = load_track(args.track)
     if args.bf:
         from autorally_tpu.models import BasisFunctionDynamics
         model = BasisFunctionDynamics(cfg.dt,
@@ -214,8 +183,9 @@ def main():
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        xb, yb = cm.bounds
         fig, ax = plt.subplots(figsize=(8, 7))
-        ax.imshow(np.asarray(data[..., 0]), origin="lower",
+        ax.imshow(np.asarray(cm.data[..., 0]), origin="lower",
                   extent=[xb[0], xb[1], yb[0], yb[1]], cmap="Greys",
                   vmin=0.0, vmax=2.0, interpolation="nearest")
         pts = ax.scatter(states[:, 0], states[:, 1], c=states[:, 4], s=2.5,

@@ -211,14 +211,16 @@ def main():
             frame = camera.capture(pose)
             balance.process_frame(frame)          # exposure sees raw frame
             # republished view carries the chosen plan overlay (the OCS
-            # image-mask role): nominal trajectory projected into the view
-            sol = getattr(getattr(chosen, "cs", None), "state_solution",
-                          None)
-            if sol is None:                        # async shim: TubeTickOutput
-                sol = getattr(chosen.stats, "state_solution", None)
-            if sol is not None:
-                frame = draw_path(frame, camera.renderer, pose,
-                                  np.asarray(sol))
+            # image-mask role); only annotate frames the rate cap will
+            # actually forward — ~90% are dropped at 5 Hz over 50 Hz
+            if republisher.ready():
+                sol = getattr(getattr(chosen, "cs", None),
+                              "state_solution", None)
+                if sol is None:                    # async shim: TubeTickOutput
+                    sol = getattr(chosen.stats, "state_solution", None)
+                if sol is not None:
+                    frame = draw_path(frame, camera.renderer, pose,
+                                      np.asarray(sol))
             republisher.process(frame)
         rec = laps.process_pose(plant.sim_time, state[0], state[1],
                                 state[4], state[5])
