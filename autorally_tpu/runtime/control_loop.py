@@ -40,6 +40,17 @@ class ControlLoopConfig:
     use_only_actual: bool = False
     use_only_predicted: bool = False
     realtime: bool = False
+    # Degeneracy guard (round-5 finding, EVAL "ensemble A/B"): when the
+    # winning solve's rollouts nearly ALL crash-latch and the weight
+    # mass is not on the survivors (ESS >> (1-crash)*K — a flat softmax
+    # over crashed futures), the plan is an average of noise — publish
+    # it with the throttle clamped to brake and without feedback gains
+    # (computed around a meaningless solution), instead of driving at
+    # speed on no preference.  A healthy near-wall recovery (weights
+    # concentrated on the few surviving rollouts) does NOT trigger.
+    degeneracy_guard: bool = True
+    degenerate_crash_thresh: float = 0.9
+    degenerate_ess_mult: float = 5.0
 
 
 def run_control_loop(predicted: Controller, actual: Controller,
@@ -70,6 +81,7 @@ def run_control_loop(predicted: Controller, actual: Controller,
     loop_time = period
     status = 1
     num_iter = 0
+    degenerate_ticks = 0
     max_iter = cfg.max_iter if cfg.max_iter is not None else 2 ** 31
 
     # realtime pacing: prefer the native absolute-deadline pacer
@@ -140,7 +152,16 @@ def run_control_loop(predicted: Controller, actual: Controller,
                 chosen, used = predicted, "predicted"
 
         gains = chosen.get_feedback_gains() if cfg.use_feedback_gains else None
-        plant.set_solution(chosen.get_state_seq(), chosen.get_control_seq(),
+        ctrl_seq = chosen.get_control_seq()
+        if cfg.degeneracy_guard and chosen.plan_degenerate(
+                cfg.degenerate_crash_thresh, cfg.degenerate_ess_mult):
+            # no-preference plan: keep steering, brake the throttle, drop
+            # the gains (see ControlLoopConfig.degeneracy_guard)
+            ctrl_seq = ctrl_seq.copy()
+            ctrl_seq[:, 1] = min(0.0, float(ctrl_seq[:, 1].min()))
+            gains = None
+            degenerate_ticks += 1
+        plant.set_solution(chosen.get_state_seq(), ctrl_seq,
                            gains, last_pose_time, used)
 
         # realtime: staleness against the receive-side wall clock (pose
@@ -178,4 +199,5 @@ def run_control_loop(predicted: Controller, actual: Controller,
                       last_sleep * 1000.0, missed=missed)
         plant.set_timing_info(timing.avg_loop_ms, timing.avg_tick_ms,
                               timing.avg_sleep_ms)
+    timing.degenerate_ticks = degenerate_ticks    # guard telemetry
     return timing

@@ -81,6 +81,31 @@ class Controller:
     def get_computed_trajectory_cost(self) -> float:
         return self._traj_cost
 
+    def plan_degenerate(self, crash_thresh: float = 0.9,
+                        ess_mult: float = 5.0) -> bool:
+        """True when the latest solve carries no preference: nearly all
+        rollouts crash-latched AND the importance-weight mass is NOT on
+        the few survivors.
+
+        When every sampled trajectory hits the crash penalty, the costs
+        equalize, the weights go uniform, and the weighted update is a
+        plain average of noise — a plan that barely steers (measured in
+        the round-5 ensemble A/B, EVAL.md: ESS 2400-2600 of K=4096 at
+        74% off-track).  The discriminator is relative to the surviving
+        fraction: with S = (1-crash)*K non-crashed rollouts, a healthy
+        near-wall recovery concentrates its weights on those S (ESS of
+        order S), while a degenerate flat softmax has ESS >> S.  The
+        loop's guard brakes on it — the NaN-control zero-command
+        philosophy (``autorally_plant.cpp:353-375``) applied to
+        flat-softmax plans."""
+        if self.stats is None:
+            return False
+        K = self.cfg.num_rollouts
+        crash = float(self.stats.crash_frac)
+        if crash <= crash_thresh:
+            return False
+        return float(self.stats.ess) > ess_mult * (1.0 - crash) * K
+
     # -- state injection (tube resync, run_control_loop.cuh:263-266) ---------
 
     def set_state(self, state: np.ndarray) -> None:

@@ -276,3 +276,55 @@ def test_cut_throttle_emergency():
     ctrl.compute_control(state)
     # every planned throttle is clamped to <= 0 after the cut
     assert (ctrl.get_control_seq()[:, 1] <= 1e-6).all()
+
+
+def test_degeneracy_guard_brakes_on_flat_softmax():
+    """Round-5 finding (EVAL 'ensemble A/B'): when nearly every rollout
+    crash-latches, the softmax flattens (ESS -> K) and the 'plan' is an
+    average of noise.  On an all-off-track costmap the guard must fire:
+    published throttles brake, gains drop, and the telemetry counts it.
+    Normal driving (the standard oval) must never trigger it."""
+    cfg = MPPIConfig(num_rollouts=64, num_timesteps=16, hz=50)
+    # a costmap with NO track anywhere: every rollout crashes at step 1
+    bad = np.full((64, 64, 4), 5.0, dtype=np.float32)
+    bad[..., 1:] = 0.0
+    cm_bad = make_costmap(bad, (-40.0, 40.0), (-40.0, 40.0))
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    actual = Controller(solver, params, CostParams(desired_speed=5.0),
+                        cm_bad)
+    predicted = Controller(solver, params, CostParams(desired_speed=5.0),
+                           cm_bad, seed=9)
+    start = np.array([0.0, 0.0, 0.0, 0, 3.0, 0, 0], dtype=np.float32)
+    plant = SyntheticPlant(model, params, start, cfg.dt, cfg.num_timesteps,
+                           use_feedback_gains=False)
+    plant.receive_state_vector(0.0, start)
+    lcfg = ControlLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
+                             use_feedback_gains=False, max_iter=10)
+    timing = run_control_loop(predicted, actual, plant, lcfg)
+    assert actual.plan_degenerate(), (
+        f"ess={float(actual.stats.ess)} of K={cfg.num_rollouts}, "
+        f"crash={float(actual.stats.crash_frac)}")
+    assert timing.degenerate_ticks == 10
+    # every published control braked (rows are (t, steer, throttle))
+    pubs = np.asarray(plant.published)
+    assert (pubs[:, 2] <= 0.0).all(), pubs[:, 2].max()
+
+    # and on a real track (start ON it) the guard stays silent
+    data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
+                              track_width=6.0, ppm=2.0)
+    cm_ok = make_costmap(data, xb, yb)
+    a2 = Controller(solver, params, CostParams(desired_speed=5.0), cm_ok)
+    p2 = Controller(solver, params, CostParams(desired_speed=5.0), cm_ok,
+                    seed=9)
+    start2 = np.array([30.0, 0.0, math.pi / 2, 0, 0, 0, 0],
+                      dtype=np.float32)
+    plant2 = SyntheticPlant(model, params, start2, cfg.dt,
+                            cfg.num_timesteps, use_feedback_gains=False)
+    plant2.receive_state_vector(0.0, start2)
+    timing2 = run_control_loop(p2, a2, plant2, ControlLoopConfig(
+        hz=cfg.hz, num_timesteps=cfg.num_timesteps,
+        use_feedback_gains=False, max_iter=20))
+    assert timing2.degenerate_ticks == 0
+    assert plant2.true_state[4] > 0.5        # still drives
