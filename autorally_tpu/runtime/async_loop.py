@@ -39,6 +39,7 @@ from typing import Callable, NamedTuple, Optional
 import numpy as np
 
 from autorally_tpu.config import CostParams
+from autorally_tpu.runtime.controller import stats_degenerate
 from autorally_tpu.runtime.plant import BasePlant
 from autorally_tpu.runtime.telemetry import StatusMonitor, TimingStats
 
@@ -198,6 +199,13 @@ class AsyncLoopConfig:
     shrink_after_s: float = 5.0
     shrink_floor: int = 1
     carry_learned: bool = False
+    # Degeneracy guard — same semantics as ControlLoopConfig: a
+    # harvested solution whose rollouts nearly all crash-latched with a
+    # flat softmax (ESS >> survivors) publishes with the throttle braked
+    # and gains dropped (see runtime/controller.py::stats_degenerate).
+    degeneracy_guard: bool = True
+    degenerate_crash_thresh: float = 0.9
+    degenerate_ess_mult: float = 5.0
 
 
 def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
@@ -247,6 +255,7 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
     loop_time = period
     status = 1
     num_iter = 0
+    degenerate_ticks = 0
     max_iter = cfg.max_iter if cfg.max_iter is not None else 2 ** 31
 
     pacer = None
@@ -271,7 +280,22 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
         wait_ms = (time.perf_counter() - t0) * 1000.0
         used = "actual" if bool(out.use_actual) else "predicted"
         gains = out.feedback_gains if tube.use_feedback_gains else None
-        plant.set_solution(out.state_solution, out.control_solution,
+        ctrl_seq = out.control_solution
+        crash = float(out.crash_frac)
+        # crash short-circuits first: K is only needed past the
+        # threshold (duck-typed tubes without a .solver stay supported)
+        if (cfg.degeneracy_guard and crash > cfg.degenerate_crash_thresh
+                and stats_degenerate(
+                    float(out.ess), crash, tube.solver.cfg.num_rollouts,
+                    cfg.degenerate_crash_thresh,
+                    cfg.degenerate_ess_mult)):
+            # no-preference plan: brake, drop gains (see config doc)
+            ctrl_seq = ctrl_seq.copy()
+            ctrl_seq[:, 1] = min(0.0, float(ctrl_seq[:, 1].min()))
+            gains = None
+            nonlocal degenerate_ticks
+            degenerate_ticks += 1
+        plant.set_solution(out.state_solution, ctrl_seq,
                            gains, t_disp, used)
         age = plant.get_last_pose_time() - t_disp
         timing.age_samples_s.append(age)
@@ -376,6 +400,7 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
     while inflight:                  # drain: leave the freshest solution
         harvest()
     # depth telemetry (ad-hoc attributes: only the async loop has them)
+    timing.degenerate_ticks = degenerate_ticks    # guard telemetry
     timing.async_depth_initial = max(1, int(cfg.depth))
     timing.async_depth_final = depth
     timing.async_depth_max = depth_max_seen

@@ -20,6 +20,17 @@ from autorally_tpu.solver.ddp import DDPResult, DDPSolver
 from autorally_tpu.solver.mppi import ControllerState, MPPISolver, SolveStats
 
 
+def stats_degenerate(ess: float, crash_frac: float, num_rollouts: int,
+                     crash_thresh: float = 0.9,
+                     ess_mult: float = 5.0) -> bool:
+    """The degeneracy test on raw telemetry scalars — shared by
+    :meth:`Controller.plan_degenerate` and the async loop's harvest
+    guard.  See :meth:`Controller.plan_degenerate` for the rationale."""
+    if crash_frac <= crash_thresh:
+        return False
+    return ess > ess_mult * (1.0 - crash_frac) * num_rollouts
+
+
 class Controller:
     """One MPPI controller instance (the loop runs two for tube-MPPI)."""
 
@@ -100,11 +111,10 @@ class Controller:
         flat-softmax plans."""
         if self.stats is None:
             return False
-        K = self.cfg.num_rollouts
-        crash = float(self.stats.crash_frac)
-        if crash <= crash_thresh:
-            return False
-        return float(self.stats.ess) > ess_mult * (1.0 - crash) * K
+        return stats_degenerate(float(self.stats.ess),
+                                float(self.stats.crash_frac),
+                                self.cfg.num_rollouts,
+                                crash_thresh, ess_mult)
 
     # -- state injection (tube resync, run_control_loop.cuh:263-266) ---------
 

@@ -323,3 +323,46 @@ def test_drain_leaves_freshest_solution():
     run_control_loop_async(tube, plant, lcfg, on_tick=on_tick)
     # every dispatched tick was eventually harvested (20 dispatches)
     assert len(seen) == 20
+
+
+def test_async_degeneracy_guard_brakes_published_solution():
+    """A harvested solution with all-crashed flat-softmax telemetry must
+    publish braked (the sync loop's guard, in the pipelined loop)."""
+    class _DegenerateTube(_FakeTube):
+        class solver:                      # duck-typed: .solver.cfg.num_rollouts
+            class cfg:
+                num_rollouts = 64
+
+        def dispatch(self, state, stride):
+            out = super().dispatch(state, stride)
+            return out._replace(
+                control_solution=np.full((self.T, 2), 0.5, np.float32),
+                ess=np.float32(60.0), crash_frac=np.float32(1.0))
+
+    tube = _DegenerateTube(16, latency_s=0.0005)
+    plant = BasePlant(dt=0.01, num_timesteps=16, use_feedback_gains=False)
+    plant.receive_state_vector(0.0, np.zeros(7, np.float32))
+    pubs = []
+    orig = plant.set_solution
+
+    def capture(ss, cs, gains, t, used):
+        pubs.append(np.array(cs))
+        orig(ss, cs, gains, t, used)
+
+    plant.set_solution = capture
+    lcfg = AsyncLoopConfig(hz=100, num_timesteps=16, depth=1,
+                           realtime=True, max_iter=20)
+    timing = run_control_loop_async(tube, plant, lcfg)
+    assert timing.degenerate_ticks > 0
+    assert all((p[:, 1] <= 0.0).all() for p in pubs)
+    # steering is preserved (only the throttle channel braked)
+    assert all((p[:, 0] == 0.5).all() for p in pubs)
+
+    # guard off: the raw solution passes through
+    pubs.clear()
+    lcfg2 = AsyncLoopConfig(hz=100, num_timesteps=16, depth=1,
+                            realtime=True, max_iter=20,
+                            degeneracy_guard=False)
+    timing2 = run_control_loop_async(tube, plant, lcfg2)
+    assert timing2.degenerate_ticks == 0
+    assert all((p[:, 1] == 0.5).all() for p in pubs)
