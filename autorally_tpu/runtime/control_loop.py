@@ -46,11 +46,24 @@ class ControlLoopConfig:
     # over crashed futures), the plan is an average of noise — publish
     # it with the throttle clamped to brake and without feedback gains
     # (computed around a meaningless solution), instead of driving at
-    # speed on no preference.  A healthy near-wall recovery (weights
-    # concentrated on the few surviving rollouts) does NOT trigger.
-    degeneracy_guard: bool = True
+    # speed on no preference.  The trigger is additionally gated on the
+    # MEASURED vehicle state: the car's own footprint must be on/over
+    # the track boundary and moving faster than
+    # ``degenerate_speed_gate`` (a braked-to-a-stop car must stay free
+    # to crawl back to the track).  OPT-IN (default off): at
+    # deployment scale (K>=32K, T=100, reference cost params) the
+    # trigger was only ever observed in the genuinely-degenerate
+    # off-track A/B seeds, but small-K / short-horizon configs
+    # legitimately drive with all rollouts latching and footprint
+    # costs over the boundary (measured: the K=96/T=24 estimator loop
+    # laps with median footprint cost 1.68 and crash_frac 1.0), so no
+    # scalar signature separates the regimes robustly — enable it on
+    # deployment configs, leave it off for small studies
+    # (see runtime/controller.py::stats_degenerate).
+    degeneracy_guard: bool = False
     degenerate_crash_thresh: float = 0.9
     degenerate_ess_mult: float = 5.0
+    degenerate_speed_gate: float = 2.0
 
 
 def run_control_loop(predicted: Controller, actual: Controller,
@@ -154,7 +167,8 @@ def run_control_loop(predicted: Controller, actual: Controller,
         gains = chosen.get_feedback_gains() if cfg.use_feedback_gains else None
         ctrl_seq = chosen.get_control_seq()
         if cfg.degeneracy_guard and chosen.plan_degenerate(
-                cfg.degenerate_crash_thresh, cfg.degenerate_ess_mult):
+                cfg.degenerate_crash_thresh, cfg.degenerate_ess_mult,
+                cfg.degenerate_speed_gate, state=state):
             # no-preference plan: keep steering, brake the throttle, drop
             # the gains (see ControlLoopConfig.degeneracy_guard)
             ctrl_seq = ctrl_seq.copy()

@@ -22,13 +22,45 @@ from autorally_tpu.solver.mppi import ControllerState, MPPISolver, SolveStats
 
 def stats_degenerate(ess: float, crash_frac: float, num_rollouts: int,
                      crash_thresh: float = 0.9,
-                     ess_mult: float = 5.0) -> bool:
+                     ess_mult: float = 5.0,
+                     position_track_cost: Optional[float] = None,
+                     boundary_threshold: Optional[float] = None,
+                     speed: Optional[float] = None,
+                     speed_gate: Optional[float] = None) -> bool:
     """The degeneracy test on raw telemetry scalars — shared by
     :meth:`Controller.plan_degenerate` and the async loop's harvest
-    guard.  See :meth:`Controller.plan_degenerate` for the rationale."""
+    guard.  See :meth:`Controller.plan_degenerate` for the rationale.
+
+    ``position_track_cost``/``boundary_threshold`` gate the trigger on
+    the vehicle's OWN position being on/over the track boundary (the
+    max of the front/back channel-0 samples the crash latch uses).
+    The flat-softmax statistics alone cannot discriminate: a small-K /
+    short-horizon solve lapping an oval shows the same (crash≈1,
+    ESS≈0.6K) signature as the genuinely-degenerate off-track seeds in
+    the round-5 ensemble A/B — all rollouts eventually latch over a
+    short noisy horizon even though the latched costs still rank the
+    futures and the car drives fine.  What separated the failing seeds
+    was the car itself being off-track while the weights were flat, so
+    that is the condition the brake requires.  Callers that cannot
+    evaluate their position pass ``None`` and get the stats-only rule.
+
+    ``speed``/``speed_gate`` additionally release the brake below a
+    longitudinal-speed floor: the hazard the guard exists for is driving
+    AT SPEED on a no-preference plan (the failing A/B seeds plowed at
+    9.3 m/s); a slow or stationary car off the boundary must be allowed
+    to act on its plan or the brake deadlocks recovery — once braked to
+    a stop it would hold a crashed car there forever.
+    """
     if crash_frac <= crash_thresh:
         return False
-    return ess > ess_mult * (1.0 - crash_frac) * num_rollouts
+    if not ess > ess_mult * (1.0 - crash_frac) * num_rollouts:
+        return False
+    if speed is not None and speed_gate is not None \
+            and abs(speed) <= speed_gate:
+        return False
+    if position_track_cost is None or boundary_threshold is None:
+        return True
+    return position_track_cost >= boundary_threshold
 
 
 class Controller:
@@ -48,6 +80,7 @@ class Controller:
         self.stats: Optional[SolveStats] = None
         self.ddp_result: Optional[DDPResult] = None
         self._traj_cost = float("inf")
+        self._last_solve_state: Optional[np.ndarray] = None
 
     # -- the loop's verbs (run_control_loop.cuh:206-225) --------------------
 
@@ -59,6 +92,7 @@ class Controller:
         self.cs, self.stats = self.solver.solve(
             self.model_params, self.cost_params, self.costmap, state, self.cs)
         self._traj_cost = float(self.stats.trajectory_cost)
+        self._last_solve_state = np.asarray(state)
 
     def compute_control_predicted(self) -> None:
         """Replan from the controller's own predicted state — the first
@@ -93,7 +127,9 @@ class Controller:
         return self._traj_cost
 
     def plan_degenerate(self, crash_thresh: float = 0.9,
-                        ess_mult: float = 5.0) -> bool:
+                        ess_mult: float = 5.0,
+                        speed_gate: float = 2.0,
+                        state: Optional[np.ndarray] = None) -> bool:
         """True when the latest solve carries no preference: nearly all
         rollouts crash-latched AND the importance-weight mass is NOT on
         the few survivors.
@@ -108,13 +144,55 @@ class Controller:
         order S), while a degenerate flat softmax has ESS >> S.  The
         loop's guard brakes on it — the NaN-control zero-command
         philosophy (``autorally_plant.cpp:353-375``) applied to
-        flat-softmax plans."""
+        flat-softmax plans.
+
+        The flat-softmax statistics are gated on the vehicle's OWN
+        position being on/over the track boundary AND on it actually
+        moving faster than ``speed_gate`` (see :func:`stats_degenerate`
+        for why stats alone misfire and why a slow car must stay free
+        to act); the position lookup only runs once the cheap scalar
+        tests pass.
+
+        ``state`` is the MEASURED vehicle state the gates evaluate at;
+        it defaults to the state this controller last solved from,
+        which is only right for the actual-state controller — the
+        predicted-state controller solves from where it BELIEVES the
+        car is, so a loop arbitrating between the two must pass the
+        measured state explicitly (both loops do)."""
         if self.stats is None:
             return False
-        return stats_degenerate(float(self.stats.ess),
+        if state is None:
+            state = self._last_solve_state
+        speed = None if state is None else float(state[4])
+        if not stats_degenerate(float(self.stats.ess),
                                 float(self.stats.crash_frac),
                                 self.cfg.num_rollouts,
-                                crash_thresh, ess_mult)
+                                crash_thresh, ess_mult,
+                                speed=speed, speed_gate=speed_gate):
+            return False
+        pos_cost = self.position_track_cost(state)
+        if pos_cost is None:
+            return True
+        return pos_cost >= float(self.cost_params.boundary_threshold)
+
+    def position_track_cost(self, state: Optional[np.ndarray] = None
+                            ) -> Optional[float]:
+        """Channel-0 track cost at the vehicle footprint of ``state``
+        (default: the last solved state) — the max of the same
+        front/back samples the crash latch uses (``getTrackCost``,
+        costs.cu:359-393).  None before any solve."""
+        if state is None:
+            state = self._last_solve_state
+        if state is None:
+            return None
+        from autorally_tpu.costs.mppi_cost import BACK_D, FRONT_D
+
+        x, y, yaw = (float(state[0]), float(state[1]), float(state[2]))
+        c, s = np.cos(yaw), np.sin(yaw)
+        pts = self.costmap.lookup_ch0(
+            jnp.asarray([x + FRONT_D * c, x + BACK_D * c]),
+            jnp.asarray([y + FRONT_D * s, y + BACK_D * s]))
+        return float(jnp.max(pts))
 
     # -- state injection (tube resync, run_control_loop.cuh:263-266) ---------
 

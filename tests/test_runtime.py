@@ -300,10 +300,15 @@ def test_degeneracy_guard_brakes_on_flat_softmax():
     plant = SyntheticPlant(model, params, start, cfg.dt, cfg.num_timesteps,
                            use_feedback_gains=False)
     plant.receive_state_vector(0.0, start)
+    # guard is OPT-IN (default off — see ControlLoopConfig); the low
+    # speed gate keeps the decelerating car above the gate all 10 ticks
     lcfg = ControlLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
-                             use_feedback_gains=False, max_iter=10)
+                             use_feedback_gains=False, max_iter=10,
+                             degeneracy_guard=True,
+                             degenerate_speed_gate=0.5)
     timing = run_control_loop(predicted, actual, plant, lcfg)
-    assert actual.plan_degenerate(), (
+    assert actual.plan_degenerate(speed_gate=0.5,
+                                  state=plant.get_state().to_vector()), (
         f"ess={float(actual.stats.ess)} of K={cfg.num_rollouts}, "
         f"crash={float(actual.stats.crash_frac)}")
     assert timing.degenerate_ticks == 10
@@ -325,6 +330,34 @@ def test_degeneracy_guard_brakes_on_flat_softmax():
     plant2.receive_state_vector(0.0, start2)
     timing2 = run_control_loop(p2, a2, plant2, ControlLoopConfig(
         hz=cfg.hz, num_timesteps=cfg.num_timesteps,
-        use_feedback_gains=False, max_iter=20))
+        use_feedback_gains=False, max_iter=20,
+        degeneracy_guard=True))
     assert timing2.degenerate_ticks == 0
     assert plant2.true_state[4] > 0.5        # still drives
+
+
+def test_degeneracy_guard_measured_state_gates():
+    """The opt-in guard's measured-state gates (round-5 final finding:
+    the flat-softmax statistics alone misfire on small configs): a
+    stationary off-track car must stay free to act (speed gate — a
+    brake here deadlocks recovery forever), and a fast car whose OWN
+    footprint is on the track must not be braked (position gate)."""
+    from autorally_tpu.runtime.controller import stats_degenerate
+
+    # speed gate: flat stats + off-track but (near-)stationary
+    assert not stats_degenerate(60.0, 1.0, 64, position_track_cost=5.0,
+                                boundary_threshold=0.65, speed=0.0,
+                                speed_gate=2.0)
+    # position gate: flat stats + fast but ON track
+    assert not stats_degenerate(60.0, 1.0, 64, position_track_cost=0.1,
+                                boundary_threshold=0.65, speed=6.0,
+                                speed_gate=2.0)
+    # all gates open (the ensemble-A/B failure signature: off-track at
+    # 9.3 m/s with ESS ~0.6K at crash ~1) -> brake
+    assert stats_degenerate(60.0, 1.0, 64, position_track_cost=5.0,
+                            boundary_threshold=0.65, speed=9.3,
+                            speed_gate=2.0)
+    # unknown position/speed (duck-typed callers) -> stats-only rule
+    assert stats_degenerate(60.0, 1.0, 64)
+    # healthy near-wall recovery: weights concentrated on the survivors
+    assert not stats_degenerate(10.0, 0.95, 64)
