@@ -55,6 +55,9 @@ class TubeTickOutput(NamedTuple):
     trajectory_cost: np.ndarray    # () chosen controller's Σw²/η
     ess: np.ndarray                # ()
     crash_frac: np.ndarray         # ()
+    # () max front/back ch-0 track cost at the dispatched state (the
+    # degeneracy guard's position gate); None for duck-typed tubes
+    position_track_cost: Optional[np.ndarray] = None
 
 
 class AsyncTubeController:
@@ -67,33 +70,55 @@ class AsyncTubeController:
 
     def __init__(self, solver, model_params, cost_params: CostParams,
                  costmap, use_feedback_gains: bool = True,
-                 seed_actual: int = 0, seed_predicted: int = 1):
+                 seed_actual: int = 0, seed_predicted: int = 1,
+                 solver_predicted=None):
         import jax
         import jax.numpy as jnp
 
+        # Asymmetric tube budgets (round 5, beyond-reference): the
+        # predicted-state controller may run a SMALLER solver.  The
+        # actual-state solve explores from the measured state and earns
+        # the sample budget; the predicted solve re-optimizes its own
+        # already-good plan from its own predicted state, where a
+        # fraction of the samples suffices — and every ControllerState
+        # leaf the arbitration/resync touches is (T,C)/(T,S), so
+        # different-K solvers compose without reshaping.  This is what
+        # lets a 65K-class tube hold 50 Hz on ONE chip: K_a=65,536 +
+        # K_p=16,384 is ~16+4 ms of device work vs 2x16 ms symmetric
+        # (GATE_r05 boundary row).  The solvers must share the model,
+        # horizon, and control dims (asserted).
         self.solver = solver
+        self.solver_predicted = solver_predicted or solver
+        if self.solver_predicted is not solver:
+            assert self.solver_predicted.model is solver.model, \
+                "asymmetric tube: both solvers must share the model"
+            assert (self.solver_predicted.cfg.num_timesteps
+                    == solver.cfg.num_timesteps), \
+                "asymmetric tube: both solvers must share the horizon"
         self.model_params = model_params
         self.cost_params = cost_params
         self.costmap = costmap
         self.use_feedback_gains = bool(use_feedback_gains)
         self._seeds = (seed_actual, seed_predicted)
         self.cs_a = solver.init_state(seed_actual)
-        self.cs_p = solver.init_state(seed_predicted)
+        self.cs_p = self.solver_predicted.init_state(seed_predicted)
         if self.use_feedback_gains:
             from autorally_tpu.solver.ddp import DDPSolver
 
             self.ddp = DDPSolver(solver.model, solver.cfg.dt,
                                  solver.cfg.num_timesteps)
 
+        solver_p = self.solver_predicted
+
         def tick(params, cost_params, costmap, state, stride, cs_a, cs_p):
             # slide (run_control_loop.cuh:206-215)
             cs_a = solver._slide(cs_a, stride)
-            cs_p = solver._slide(cs_p, stride)
+            cs_p = solver_p._slide(cs_p, stride)
             # actual-state and predicted-state solves (:218-219)
             cs_a, st_a = solver._solve(params, cost_params, costmap,
                                        state, cs_a)
-            cs_p, st_p = solver._solve(params, cost_params, costmap,
-                                       cs_p.state_solution[0], cs_p)
+            cs_p, st_p = solver_p._solve(params, cost_params, costmap,
+                                         cs_p.state_solution[0], cs_p)
             # arbitration by computed trajectory cost (:246-286)
             use_actual = st_a.trajectory_cost < st_p.trajectory_cost
             pick = lambda a, p: jnp.where(use_actual, a, p)
@@ -110,6 +135,17 @@ class AsyncTubeController:
                     chosen_ctrl, rngs[:, 0], rngs[:, 1]).feedback_gain
             else:
                 gains = None
+            # vehicle-footprint track cost for the degeneracy guard's
+            # position gate (same front/back ch-0 samples as the crash
+            # latch, costs.cu:359-393)
+            from autorally_tpu.costs.mppi_cost import BACK_D, FRONT_D
+
+            cy, sy = jnp.cos(state[2]), jnp.sin(state[2])
+            pos_cost = jnp.max(costmap.lookup_ch0(
+                jnp.stack([state[0] + FRONT_D * cy,
+                           state[0] + BACK_D * cy]),
+                jnp.stack([state[1] + FRONT_D * sy,
+                           state[1] + BACK_D * sy])))
             out = TubeTickOutput(
                 control_solution=chosen_ctrl,
                 state_solution=chosen_states,
@@ -118,7 +154,8 @@ class AsyncTubeController:
                 trajectory_cost=pick(st_a.trajectory_cost,
                                      st_p.trajectory_cost),
                 ess=pick(st_a.ess, st_p.ess),
-                crash_frac=pick(st_a.crash_frac, st_p.crash_frac))
+                crash_frac=pick(st_a.crash_frac, st_p.crash_frac),
+                position_track_cost=pos_cost)
             return cs_a, cs_p, out
 
         self._tick = jax.jit(tick)
@@ -131,7 +168,7 @@ class AsyncTubeController:
         jnp = self._jnp
         s = jnp.asarray(state, dtype=jnp.float32)
         self.cs_a = self.solver.init_state(self._seeds[0])
-        self.cs_p = self.solver.init_state(self._seeds[1])
+        self.cs_p = self.solver_predicted.init_state(self._seeds[1])
         self.cs_a = self.cs_a._replace(
             state_solution=self.cs_a.state_solution.at[0].set(s))
         self.cs_p = self.cs_p._replace(
@@ -201,11 +238,16 @@ class AsyncLoopConfig:
     carry_learned: bool = False
     # Degeneracy guard — same semantics as ControlLoopConfig: a
     # harvested solution whose rollouts nearly all crash-latched with a
-    # flat softmax (ESS >> survivors) publishes with the throttle braked
-    # and gains dropped (see runtime/controller.py::stats_degenerate).
-    degeneracy_guard: bool = True
+    # flat softmax (ESS >> survivors), while the MEASURED car is off
+    # the track boundary and moving faster than the speed gate,
+    # publishes with the throttle braked and gains dropped.  OPT-IN
+    # (default off) — see ControlLoopConfig.degeneracy_guard and
+    # runtime/controller.py::stats_degenerate for why the statistics
+    # cannot be trusted as a default across operating scales.
+    degeneracy_guard: bool = False
     degenerate_crash_thresh: float = 0.9
     degenerate_ess_mult: float = 5.0
+    degenerate_speed_gate: float = 2.0
 
 
 def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
@@ -273,7 +315,7 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
     def harvest() -> float:
         """Publish the oldest in-flight solution; returns the blocked
         device-wait in ms."""
-        t_disp, out_dev = inflight.popleft()
+        t_disp, state_disp, out_dev = inflight.popleft()
         t0 = time.perf_counter()
         out = TubeTickOutput(*[None if leaf is None else np.asarray(leaf)
                                for leaf in out_dev])
@@ -283,12 +325,30 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
         ctrl_seq = out.control_solution
         crash = float(out.crash_frac)
         # crash short-circuits first: K is only needed past the
-        # threshold (duck-typed tubes without a .solver stay supported)
+        # threshold (duck-typed tubes without a .solver stay supported);
+        # the ESS came from the WINNING controller, so an asymmetric
+        # tube must test it against that controller's own K
         if (cfg.degeneracy_guard and crash > cfg.degenerate_crash_thresh
                 and stats_degenerate(
-                    float(out.ess), crash, tube.solver.cfg.num_rollouts,
+                    float(out.ess), crash,
+                    (tube.solver if bool(out.use_actual)
+                     else getattr(tube, "solver_predicted", tube.solver)
+                     ).cfg.num_rollouts,
                     cfg.degenerate_crash_thresh,
-                    cfg.degenerate_ess_mult)):
+                    cfg.degenerate_ess_mult,
+                    position_track_cost=(
+                        None if out.position_track_cost is None
+                        else float(out.position_track_cost)),
+                    # duck-typed tubes without cost params fall back to
+                    # the stats-only rule (boundary gate disabled)
+                    boundary_threshold=(
+                        None if getattr(tube, "cost_params", None) is None
+                        else float(tube.cost_params.boundary_threshold)),
+                    # MEASURED vx at this tick's dispatch (the winning
+                    # controller may have solved from where it merely
+                    # BELIEVED the car was); index 4 is vx
+                    speed=float(state_disp[4]),
+                    speed_gate=cfg.degenerate_speed_gate)):
             # no-preference plan: brake, drop gains (see config doc)
             ctrl_seq = ctrl_seq.copy()
             ctrl_seq[:, 1] = min(0.0, float(ctrl_seq[:, 1].min()))
@@ -333,7 +393,7 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
             stride = 0
 
         out_dev = tube.dispatch(state, stride)
-        inflight.append((t_pose, out_dev))
+        inflight.append((t_pose, state, out_dev))
 
         harvest_ms = 0.0
         harvested = len(inflight) > depth

@@ -17,6 +17,7 @@ armed).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import subprocess
 import sys
@@ -293,7 +294,9 @@ def run_realtime_gate_async(pose_port: int = 47980,
                             warmup_iters: int = 12,
                             attempts: int = 6,
                             noise_sampler: str = "gaussian",
-                            noise_param: float = 1.0) -> dict:
+                            noise_param: float = 1.0,
+                            num_rollouts_predicted: Optional[int] = None
+                            ) -> dict:
     """Realtime gate over the ASYNC-dispatch loop at the reference
     operating point (K=1920, T=100) on the default backend (TPU when
     present).
@@ -323,6 +326,12 @@ def run_realtime_gate_async(pose_port: int = 47980,
     time still counts against the budget (it is honest stack latency); it
     is only excluded from the steal test.
 
+    ``num_rollouts_predicted`` sizes an ASYMMETRIC tube (round 5): the
+    predicted-state controller runs its own smaller solver, so a
+    65K-class actual-state solve can hold 50 Hz on one chip where the
+    symmetric tube's 2x16 ms device work cannot (see
+    ``AsyncTubeController``).  Default None = symmetric (shared solver).
+
     Returns the same dict shape as :func:`run_realtime_gate` plus
     ``depth``, ``harvest_p50_ms``, ``harvest_p99_ms``.
     """
@@ -350,9 +359,16 @@ def run_realtime_gate_async(pose_port: int = 47980,
     model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
     params = model.load_params(DEFAULT_MODEL)
     solver = MPPISolver(model, MPPICost(), cfg)
+    solver_pred = None
+    if (num_rollouts_predicted is not None
+            and num_rollouts_predicted != num_rollouts):
+        cfg_pred = dataclasses.replace(
+            cfg, num_rollouts=num_rollouts_predicted)
+        solver_pred = MPPISolver(model, MPPICost(), cfg_pred)
     cp = CostParams(desired_speed=4.0)
     tube = AsyncTubeController(solver, params, cp, cm,
-                               use_feedback_gains=use_feedback_gains)
+                               use_feedback_gains=use_feedback_gains,
+                               solver_predicted=solver_pred)
 
     duration = seconds * attempts + (warmup_iters + 20) / hz + 420.0
     sim = subprocess.Popen(
@@ -417,6 +433,9 @@ def run_realtime_gate_async(pose_port: int = 47980,
             "depth_final": getattr(timing, "async_depth_final", depth),
             "depth_max": getattr(timing, "async_depth_max", depth),
             "num_rollouts": num_rollouts,
+            "num_rollouts_predicted": (num_rollouts
+                                       if num_rollouts_predicted is None
+                                       else num_rollouts_predicted),
             "num_timesteps": num_timesteps,
             "harvest_p50_ms": _pct(res["harvests"], 50.0),
             "harvest_p99_ms": _pct(res["harvests"], 99.0),

@@ -70,6 +70,13 @@ def main():
     ap.add_argument("--depth", type=int, default=1,
                     help="in-flight solves for --async-loop (2 covers a "
                          "~25 ms tunnel sync at 50 Hz)")
+    ap.add_argument("--pred-rollouts", type=int, default=None,
+                    help="asymmetric tube: rollout count for the "
+                         "predicted-state controller (default: same as "
+                         "--rollouts).  The predicted solve re-optimizes "
+                         "its own already-good plan, so a fraction of "
+                         "the budget suffices — this is what lets a "
+                         "65K-class tube hold 50 Hz on one chip")
     args = ap.parse_args()
 
     if args.cpu:
@@ -122,9 +129,14 @@ def main():
         params_m = model.load_params(args.model or MODEL_NPZ)
 
     solver = MPPISolver(model, MPPICost(cfg.l1_cost), cfg)
+    solver_pred = solver
+    if args.pred_rollouts is not None and args.pred_rollouts != cfg.num_rollouts:
+        solver_pred = MPPISolver(model, MPPICost(cfg.l1_cost),
+                                 cfg.replace(num_rollouts=args.pred_rollouts))
     ddp = DDPSolver(model, cfg.dt, cfg.num_timesteps)
     actual = Controller(solver, params_m, cost_params, cm, ddp=ddp)
-    predicted = Controller(solver, params_m, cost_params, cm, ddp=ddp, seed=77)
+    predicted = Controller(solver_pred, params_m, cost_params, cm, ddp=ddp,
+                           seed=77)
 
     start = np.array([30.0, 0.0, math.pi / 2, 0, 0, 0, 0], dtype=np.float32)
     plant = SyntheticPlant(model, params_m, start, cfg.dt, cfg.num_timesteps,
@@ -268,7 +280,9 @@ def main():
 
         tube = AsyncTubeController(
             solver, params_m, cost_params, cm,
-            use_feedback_gains=cfg.use_feedback_gains)
+            use_feedback_gains=cfg.use_feedback_gains,
+            solver_predicted=(None if solver_pred is solver
+                              else solver_pred))
 
         class _Shim:
             """Adapt the async hook to the sync on_tick consumers (the

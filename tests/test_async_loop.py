@@ -31,7 +31,7 @@ START = np.array([30.0, 0.0, np.pi / 2, 0.0, 2.0, 0.0, 0.0],
                  dtype=np.float32)
 
 
-def _build(use_feedback_gains=False, K=64, T=16):
+def _build(use_feedback_gains=False, K=64, T=16, K_pred=None):
     cfg = MPPIConfig(num_rollouts=K, num_timesteps=T, hz=50)
     data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
                               track_width=8.0, ppm=2.0)
@@ -39,9 +39,13 @@ def _build(use_feedback_gains=False, K=64, T=16):
     model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
     params = model.load_params(NN_NPZ)
     solver = MPPISolver(model, MPPICost(), cfg)
+    solver_pred = (None if K_pred is None else
+                   MPPISolver(model, MPPICost(),
+                              cfg.replace(num_rollouts=K_pred)))
     cp = CostParams(desired_speed=4.0)
     tube = AsyncTubeController(solver, params, cp, cm,
-                               use_feedback_gains=use_feedback_gains)
+                               use_feedback_gains=use_feedback_gains,
+                               solver_predicted=solver_pred)
     plant = SyntheticPlant(model, params, START, cfg.dt,
                            cfg.num_timesteps,
                            use_feedback_gains=use_feedback_gains)
@@ -66,6 +70,55 @@ def test_lockstep_drives_the_plant(depth):
     # pipelined publication: solutions were delivered
     assert plant.solution_received
     assert np.isfinite(plant.control_sequence).all()
+
+
+def test_asymmetric_tube_drives_and_resyncs():
+    """Asymmetric tube budgets (round 5): the predicted-state controller
+    runs its own smaller solver (K_pred < K_actual).  The loop must
+    drive like the symmetric tube at this config, and the cross-solver
+    resync must still hand the actual controller's (T,C)/(T,S) solution
+    to the smaller predicted controller bit-for-bit."""
+    tube, plant, cfg = _build(K=64, K_pred=32)
+    assert tube.solver_predicted is not tube.solver
+    assert tube.solver_predicted.cfg.num_rollouts == 32
+    used = []
+
+    def on_tick(num_iter, who, state, out, harvest_ms, age_s):
+        used.append(who)
+
+    lcfg = AsyncLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
+                           depth=1, realtime=False, max_iter=150)
+    timing = run_control_loop_async(tube, plant, lcfg, on_tick=on_tick)
+    assert timing.num_iter == 150
+    assert not plant.shutdown
+    assert 1.5 < float(plant.true_state[4]) < 5.0
+    progress = np.hypot(float(plant.true_state[0]) - START[0],
+                        float(plant.true_state[1]) - START[1])
+    assert progress > 4.0
+    assert np.isfinite(plant.control_sequence).all()
+    # both controllers actually won ticks at some point (arbitration is
+    # live across the asymmetric pair, not degenerate to one side)
+    assert set(used) == {"actual", "predicted"}
+    # resync semantics: after a tick, the predicted controller's carried
+    # solution equals the published chosen one (resync on actual wins,
+    # its own on predicted wins) — shapes are K-independent
+    assert np.asarray(tube.cs_p.control_solution).shape == \
+        (cfg.num_timesteps, 2)
+
+
+def test_asymmetric_tube_rejects_mismatched_horizon():
+    cfg = MPPIConfig(num_rollouts=64, num_timesteps=16, hz=50)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
+                              track_width=8.0, ppm=2.0)
+    cm = make_costmap(data, xb, yb)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    bad = MPPISolver(model, MPPICost(),
+                     cfg.replace(num_rollouts=32, num_timesteps=8))
+    with pytest.raises(AssertionError, match="horizon"):
+        AsyncTubeController(solver, params, CostParams(), cm,
+                            solver_predicted=bad)
 
 
 def test_publication_lags_by_depth():
@@ -341,7 +394,11 @@ def test_async_degeneracy_guard_brakes_published_solution():
 
     tube = _DegenerateTube(16, latency_s=0.0005)
     plant = BasePlant(dt=0.01, num_timesteps=16, use_feedback_gains=False)
-    plant.receive_state_vector(0.0, np.zeros(7, np.float32))
+    # measured car MOVING (vx=5 > the speed gate): a stationary car must
+    # never be brake-deadlocked, so the gate would hold the guard silent
+    moving = np.zeros(7, np.float32)
+    moving[4] = 5.0
+    plant.receive_state_vector(0.0, moving)
     pubs = []
     orig = plant.set_solution
 
@@ -350,8 +407,10 @@ def test_async_degeneracy_guard_brakes_published_solution():
         orig(ss, cs, gains, t, used)
 
     plant.set_solution = capture
+    # guard is OPT-IN (default off — see AsyncLoopConfig)
     lcfg = AsyncLoopConfig(hz=100, num_timesteps=16, depth=1,
-                           realtime=True, max_iter=20)
+                           realtime=True, max_iter=20,
+                           degeneracy_guard=True)
     timing = run_control_loop_async(tube, plant, lcfg)
     assert timing.degenerate_ticks > 0
     assert all((p[:, 1] <= 0.0).all() for p in pubs)

@@ -78,6 +78,48 @@ def test_async_adaptive_depth_covers_real_device_latency():
     assert timing.async_depth_final <= 6
 
 
+def test_asymmetric_tube_on_device():
+    """Asymmetric tube budgets on the real chip (round 5): a
+    K_a=1920 / K_p=480 tube tick must run as one program, drive a
+    lockstep plant with finite solutions, and its per-tick device
+    time must undercut the symmetric K=1920 tube's (the whole point:
+    the predicted solve at K/4 sheds ~3/8 of the tick's rollout
+    work).  Timing asserted loosely (tunnel jitter): asym <= sym x
+    1.05."""
+    from autorally_tpu.runtime.async_loop import (AsyncLoopConfig,
+                                                  AsyncTubeController,
+                                                  run_control_loop_async)
+    from autorally_tpu.runtime.plant import SyntheticPlant
+
+    solver, params, cp, cm, cfg = _stack()
+    solver_pred = MPPISolver(solver.model, MPPICost(),
+                             cfg.replace(num_rollouts=480))
+
+    def run_tube(sp):
+        tube = AsyncTubeController(solver, params, cp, cm,
+                                   use_feedback_gains=False,
+                                   solver_predicted=sp)
+        plant = SyntheticPlant(solver.model, params, START, cfg.dt,
+                               cfg.num_timesteps,
+                               use_feedback_gains=False)
+        plant.receive_state_vector(0.0, START)
+        lcfg = AsyncLoopConfig(hz=50, num_timesteps=cfg.num_timesteps,
+                               depth=1, realtime=False, max_iter=10)
+        run_control_loop_async(tube, plant, lcfg)      # warm compile
+        t0 = time.perf_counter()
+        lcfg.max_iter = 50
+        run_control_loop_async(tube, plant, lcfg)
+        dt = (time.perf_counter() - t0) / 50
+        assert not plant.shutdown
+        assert np.isfinite(plant.control_sequence).all()
+        return dt
+
+    t_asym = run_tube(solver_pred)
+    t_sym = run_tube(None)
+    assert t_asym <= t_sym * 1.05, (
+        f"asym tick {t_asym*1e3:.2f} ms vs sym {t_sym*1e3:.2f} ms")
+
+
 def test_fused_episode_tick_rate_floor():
     """The whole-tube-tick episode (two solves + arbitration + plant
     step per tick in ONE program) must exceed a closed-loop rate floor:

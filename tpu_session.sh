@@ -74,6 +74,17 @@ res = run_realtime_gate_async(pose_port=48060, control_port=48061,
                               adaptive_depth=True, warmup_iters=20,
                               noise_sampler='colored', noise_param=1.0)
 gates.append({'name': 'tube_k65536_colored_boundary', 'result': res})
+# ASYMMETRIC tube (round 5): K_a=65,536 actual + K_p=16,384 predicted
+# is ~16+4 ms of device work per tick vs the symmetric 2x16 ms above —
+# the design that makes a 65K-class tube a 50 Hz operating point on
+# ONE chip (runtime/async_loop.py::AsyncTubeController).
+res = run_realtime_gate_async(pose_port=48070, control_port=48071,
+                              seconds=3.0, num_rollouts=65536,
+                              num_rollouts_predicted=16384,
+                              num_timesteps=100, depth=4,
+                              adaptive_depth=True, warmup_iters=20,
+                              noise_sampler='colored', noise_param=1.0)
+gates.append({'name': 'tube_k65536_asym16384_colored', 'result': res})
 print(json.dumps({'artifact': 'gate', 'round': int('$ROUND'),
                   'gates': gates}))
 " 2>"$OUT/gate.err" | tee "$OUT/gate.json" | tail -1 || true
