@@ -56,15 +56,30 @@ class EpisodeRunner:
                  use_feedback_gains: bool = False, pose_substeps: int = 1,
                  throttle_max: float = 0.65,
                  ess_target_frac: Optional[float] = None,
-                 ess_alpha: float = 0.25, ess_headroom: float = 8.0):
+                 ess_alpha: float = 0.25, ess_headroom: float = 8.0,
+                 solver_predicted: Optional[MPPISolver] = None):
         """``ess_target_frac``: enable ON-DEVICE adaptive softmax
         temperature — the :class:`~autorally_tpu.runtime.ess_tuner.EssTuner`
         law (multiplicative step on measured ESS, clamped to
         ``gamma/headroom .. gamma*headroom``) carried through the episode
         scan, so the whole adapt-solve-adapt loop runs at device speed
         with zero host involvement (beyond-reference: the reference pins
-        gamma at launch)."""
+        gamma at launch).
+
+        ``solver_predicted``: ASYMMETRIC tube budgets (see
+        ``runtime/async_loop.py::AsyncTubeController``) — the
+        predicted-state half of the tube runs this (smaller) solver.
+        Must share the model and horizon.  The ESS-tuner target (if
+        enabled) is sized from the ACTUAL solver's K; the winning
+        solve's measured ESS drives the shared gamma either way."""
         self.solver = solver
+        self.solver_predicted = solver_predicted or solver
+        if self.solver_predicted is not solver:
+            assert self.solver_predicted.model is solver.model, \
+                "asymmetric tube: both solvers must share the model"
+            assert (self.solver_predicted.cfg.num_timesteps
+                    == solver.cfg.num_timesteps), \
+                "asymmetric tube: both solvers must share the horizon"
         self.true_model = true_model or solver.model
         self.n_ticks = int(n_ticks)
         self.use_feedback_gains = bool(use_feedback_gains)
@@ -122,6 +137,7 @@ class EpisodeRunner:
                  cs_p: ControllerState,
                  obstacle_traj=None) -> EpisodeResult:
         solver = self.solver
+        solver_p = self.solver_predicted
         cfg = solver.cfg
         stride = cfg.optimization_stride
         M = self.pose_substeps
@@ -138,12 +154,12 @@ class EpisodeRunner:
                 cp = cp.replace(gamma=gamma)
             # receding-horizon slide (run_control_loop.cuh:206-215)
             cs_a = solver._slide(cs_a, jnp.int32(stride))
-            cs_p = solver._slide(cs_p, jnp.int32(stride))
+            cs_p = solver_p._slide(cs_p, jnp.int32(stride))
             # actual-state and predicted-state solves (:218-219)
             cs_a, st_a = solver._solve(params_ctrl, cp, costmap,
                                        state, cs_a)
-            cs_p, st_p = solver._solve(params_ctrl, cp, costmap,
-                                       cs_p.state_solution[0], cs_p)
+            cs_p, st_p = solver_p._solve(params_ctrl, cp, costmap,
+                                         cs_p.state_solution[0], cs_p)
             # arbitration by computed trajectory cost (:246-286)
             use_actual = st_a.trajectory_cost < st_p.trajectory_cost
             pick = lambda a, p: jnp.where(use_actual, a, p)
@@ -219,7 +235,7 @@ class EpisodeRunner:
         obstacles evaluated fully on device inside the episode scan.
         """
         cs_a = self.solver.init_state(seed_a)
-        cs_p = self.solver.init_state(seed_p)
+        cs_p = self.solver_predicted.init_state(seed_p)
         cs_a = cs_a._replace(state_solution=cs_a.state_solution.at[0].set(
             jnp.asarray(state0, dtype=jnp.float32)))
         cs_p = cs_p._replace(state_solution=cs_p.state_solution.at[0].set(

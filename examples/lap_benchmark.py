@@ -30,6 +30,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ticks", type=int, default=4000)
     ap.add_argument("--rollouts", type=int, default=1920)
+    ap.add_argument("--pred-rollouts", type=int, default=None,
+                    help="asymmetric tube: rollout count for the "
+                         "predicted-state controller (default: same as "
+                         "--rollouts; see AsyncTubeController)")
     ap.add_argument("--timesteps", type=int, default=100)
     ap.add_argument("--desired-speed", type=float, default=6.0)
     ap.add_argument("--seed", type=int, default=0,
@@ -113,11 +117,17 @@ def main():
         true_model = NeuralNetDynamics(cfg.dt / args.pose_substeps,
                                        control_ranges=cfg.control_ranges)
     solver = MPPISolver(model, MPPICost(), cfg)
+    solver_pred = None
+    if (args.pred_rollouts is not None
+            and args.pred_rollouts != cfg.num_rollouts):
+        solver_pred = MPPISolver(model, MPPICost(),
+                                 cfg.replace(num_rollouts=args.pred_rollouts))
     runner = EpisodeRunner(solver, true_model=true_model,
                            n_ticks=args.ticks,
                            use_feedback_gains=args.feedback,
                            pose_substeps=args.pose_substeps,
-                           ess_target_frac=args.ess_target)
+                           ess_target_frac=args.ess_target,
+                           solver_predicted=solver_pred)
     params_true = params
     if args.mismatch:
         if args.bf:

@@ -46,6 +46,33 @@ def test_episode_drives_the_car():
     assert np.isfinite(np.asarray(res.ess)).all()
 
 
+def test_episode_asymmetric_tube_drives():
+    """Asymmetric tube budgets inside the fused episode scan: the
+    predicted half runs K/4 and the closed loop must still drive the
+    oval with live arbitration (round 5; see AsyncTubeController)."""
+    cfg = MPPIConfig(num_rollouts=128, num_timesteps=24)
+    data, xb, yb = oval_track(half_length=30.0, half_width=18.0,
+                              track_width=6.0, ppm=4.0)
+    cm = make_costmap(data, xb, yb)
+    model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
+    params = model.load_params(NN_NPZ)
+    solver = MPPISolver(model, MPPICost(), cfg)
+    solver_pred = MPPISolver(model, MPPICost(),
+                             cfg.replace(num_rollouts=32))
+    runner = EpisodeRunner(solver, n_ticks=150,
+                           solver_predicted=solver_pred)
+    start = np.array([30.0, 0.0, math.pi / 2, 0, 0, 0, 0],
+                     dtype=np.float32)
+    res = runner.run(params, CostParams(desired_speed=5.0), cm, start)
+    states = np.asarray(res.states)
+    assert np.isfinite(states).all()
+    assert states[-1, 4] > 2.0
+    assert np.hypot(states[-1, 0] - 30.0, states[-1, 1]) > 3.0
+    used = np.asarray(res.used_actual)
+    # arbitration live across the asymmetric pair
+    assert used.any() and not used.all()
+
+
 def test_episode_model_mismatch():
     """Controller plans with the reference model but the plant runs a
     perturbed true model — the loop must still function."""
