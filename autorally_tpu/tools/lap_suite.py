@@ -62,8 +62,13 @@ def run_config(row: dict, ticks: int, seeds: int) -> list:
                        key: [W * scale for W in params[key]]
                        if key == "weights" else params[key] * scale}
     solver = MPPISolver(model, MPPICost(), cfg)
+    solver_pred = None
+    if row.get("K_pred"):
+        solver_pred = MPPISolver(model, MPPICost(),
+                                 cfg.replace(num_rollouts=row["K_pred"]))
     runner = EpisodeRunner(solver, true_model=true_model, n_ticks=ticks,
-                           use_feedback_gains=bool(row.get("feedback")))
+                           use_feedback_gains=bool(row.get("feedback")),
+                           solver_predicted=solver_pred)
     cp = CostParams(desired_speed=row["desired_speed"])
     start = np.array([start_pose[0], start_pose[1], start_pose[2],
                       0, 0, 0, 0], dtype=np.float32)
@@ -92,6 +97,11 @@ DEFAULT_MATRIX = [
      "T": 100, "desired_speed": 6.0, "model": "bf"},
     {"name": "ccrf_nn_tube_mismatch10", "track": "ccrf", "K": 1920,
      "T": 100, "desired_speed": 8.0, "feedback": True, "mismatch": 0.1},
+    # asymmetric tube budgets (round 5): lap quality must survive the
+    # predicted half running K/4 (the deployment design that holds
+    # 50 Hz at K=65,536 on one chip — GATE_r05 tube_k65536_asym16384)
+    {"name": "ccrf_nn_asym_kpred4x", "track": "ccrf", "K": 1920,
+     "K_pred": 480, "T": 100, "desired_speed": 8.0},
 ]
 
 
@@ -123,7 +133,9 @@ def main(argv=None):
         names = set(args.only.split(","))
         matrix = [r for r in matrix if r["name"] in names]
     if args.smoke:
-        matrix = [{**r, "K": 256, "T": 32} for r in matrix]
+        matrix = [{**r, "K": 256, "T": 32,
+                   **({"K_pred": 64} if r.get("K_pred") else {})}
+                  for r in matrix]
 
     artifact = {"artifact": "laps", "round": args.round,
                 "ticks": args.ticks, "seeds": args.seeds,
