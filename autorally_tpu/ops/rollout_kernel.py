@@ -1223,11 +1223,22 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
                       T: int,
                       H: int, W: int, Hp: int, RW: int, Wblk: int, CB: int,
                       negate_yaw_der: bool, l1_cost: bool, dt: float,
+                      ou_a: float,
                       mm_prec, scalars_ref, seed_ref, U_ref, *refs):
     """Pass 1 of the RNG mode: identical to ``_fused_kernel`` /
     ``_fused_exact_kernel`` (``cost_mode`` = "field" | "exact") but noise
     is generated in-kernel (seeded per grid cell) and ONLY costs/crash are
     emitted — no eps input, no u_seq output, nothing per-(t,k) in HBM.
+
+    ``ou_a``: 0.0 = white gaussian draws (the reference protocol);
+    otherwise the AR(1) coefficient of Ornstein-Uhlenbeck exploration
+    (``a = 1 - theta``, ``ops/sampling.py::ou_noise``) — the recursion
+    ``x_t = a x_{t-1} + sqrt(1-a^2) w_t`` streams through the step loop
+    with one extra (2, K) carry, so temporally-correlated exploration
+    (measured ~5% faster laps, EVAL round 5) composes with the
+    nothing-in-HBM capacity mode at zero HBM cost.  The DFT-shaped
+    ``colored`` sampler stays host-path: its horizon-global mixing
+    needs all nf frequency draws live at once.
 
     refs: field mode [wd..., wf..., freqs, costs_out, crash_out];
     exact mode [map3, wd..., costs_out, crash_out, vals_scratch]."""
@@ -1272,10 +1283,16 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
     cost_step = _make_cost_step(sc, lookup, obstacle_terms, l1_cost, K)
 
     def step(t, carry):
-        s, running, crash = carry
+        s, running, crash, xn = carry
         frozen = zero_rollout | (t.astype(jnp.float32) < opt_delay)
 
         eps_t = _kernel_normals((2, K))          # one draw per step
+        if ou_a != 0.0:
+            # OU stream: x_0 = w_0, x_t = a x_{t-1} + b w_t (matches
+            # ops/sampling.py::ou_noise step for step)
+            b = (1.0 - ou_a * ou_a) ** 0.5
+            xn = jnp.where(t == 0, eps_t, ou_a * xn + b * eps_t)
+            eps_t = xn
         du0 = eps_t[0:1, :] * nu0
         du1 = eps_t[1:2, :] * nu1
         U_t0 = U_ref[t, 0]
@@ -1315,17 +1332,19 @@ def _fused_rng_kernel(kind: str, spec: tuple, cost_mode: str,
         # path (see _fused_kernel)
         crash = jnp.maximum(crash, jnp.where(
             (jnp.abs(s[3:4, :]) > 1.57) & (t < T - 1), 1.0, 0.0))
-        return (s, running, crash)
+        return (s, running, crash, xn)
 
     running0 = jnp.zeros((1, K), jnp.float32)
     crash0 = jnp.zeros((1, K), jnp.float32)
-    _, running, crash = jax.lax.fori_loop(0, T, step, (s0, running0, crash0))
+    xn0 = jnp.zeros((2, K), jnp.float32)
+    _, running, crash, _ = jax.lax.fori_loop(
+        0, T, step, (s0, running0, crash0, xn0))
     costs_out[0, :] = running[0]
     crash_out[0, :] = crash[0]
 
 
-def _weighted_update_kernel(T: int, scalars_ref, seed_ref, U_ref, w_ref,
-                            numer_out):
+def _weighted_update_kernel(T: int, ou_a: float, scalars_ref, seed_ref,
+                            U_ref, w_ref, numer_out):
     """Pass 2 of the RNG mode: regenerate the identical noise stream (same
     seed + grid cell, same draw order as pass 1) and accumulate the
     importance-weighted control numerator sum_k w_k u_{k,t,c} for this
@@ -1345,9 +1364,14 @@ def _weighted_update_kernel(T: int, scalars_ref, seed_ref, U_ref, w_ref,
     pure_noise = k_idx >= pure_thresh
     w = w_ref[0:1, :]
 
-    def step(t, _):
+    def step(t, xn):
         frozen = zero_rollout | (t.astype(jnp.float32) < opt_delay)
         eps_t = _kernel_normals((2, K))          # same draw order as pass 1
+        if ou_a != 0.0:
+            # identical OU recursion as pass 1 — the streams must match
+            b = (1.0 - ou_a * ou_a) ** 0.5
+            xn = jnp.where(t == 0, eps_t, ou_a * xn + b * eps_t)
+            eps_t = xn
         du0 = eps_t[0:1, :] * nu0
         du1 = eps_t[1:2, :] * nu1
         U_t0 = U_ref[t, 0]
@@ -1356,20 +1380,20 @@ def _weighted_update_kernel(T: int, scalars_ref, seed_ref, U_ref, w_ref,
         u1 = jnp.where(frozen, U_t1, jnp.where(pure_noise, du1, U_t1 + du1))
         numer_out[0, 0, t] = jnp.sum(w * u0)
         numer_out[0, 1, t] = jnp.sum(w * u1)
-        return 0
+        return xn
 
-    jax.lax.fori_loop(0, T, step, 0)
+    jax.lax.fori_loop(0, T, step, jnp.zeros((2, K), jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=(
     "kind", "spec", "cost_mode", "field_layers", "num_freqs", "n_obs",
     "T", "K",
     "H", "W", "Hp", "RW", "Wblk", "CB", "negate_yaw_der",
-    "l1_cost", "dt", "interpret", "precision"))
+    "l1_cost", "dt", "ou_a", "interpret", "precision"))
 def _fused_rng_pass1(kind, spec, cost_mode, field_layers, num_freqs, n_obs,
                      T, K,
                      H, W, Hp, RW, Wblk, CB,
-                     negate_yaw_der, l1_cost, dt, interpret,
+                     negate_yaw_der, l1_cost, dt, ou_a, interpret,
                      scalars, seed, U, *wb, precision: str = "highest"):
     n_field = len(field_layers) - 1
     tile = _pick_tile(K, FUSED_MAX_TILE)
@@ -1377,7 +1401,7 @@ def _fused_rng_pass1(kind, spec, cost_mode, field_layers, num_freqs, n_obs,
     kernel = functools.partial(_fused_rng_kernel, kind, spec, cost_mode,
                                n_field, num_freqs, n_obs, T, H, W, Hp, RW,
                                Wblk,
-                               CB, negate_yaw_der, l1_cost, dt,
+                               CB, negate_yaw_der, l1_cost, dt, ou_a,
                                _prec(precision))
     rep = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -1405,12 +1429,12 @@ def _fused_rng_pass1(kind, spec, cost_mode, field_layers, num_freqs, n_obs,
     return costs, crash
 
 
-@functools.partial(jax.jit, static_argnames=("T", "K", "interpret"))
-def _fused_rng_pass2(T, K, interpret, scalars, seed, U, w):
+@functools.partial(jax.jit, static_argnames=("T", "K", "ou_a", "interpret"))
+def _fused_rng_pass2(T, K, ou_a, interpret, scalars, seed, U, w):
     tile = _pick_tile(K, FUSED_MAX_TILE)
     grid = (K // tile,)
     G = K // tile
-    kernel = functools.partial(_weighted_update_kernel, T)
+    kernel = functools.partial(_weighted_update_kernel, T, ou_a)
     partials = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1439,11 +1463,28 @@ def fused_rng_costs(model, model_params, cfg, cost_params, field, state, U,
 
     ``k_offset``/``K_local`` let a sharded caller run its own shard of the
     global rollout batch with a per-shard seed (the ``mppi_controller.cu:612``
-    per-controller cuRAND stream, one per chip)."""
+    per-controller cuRAND stream, one per chip).
+
+    ``cfg.noise_sampler`` may be "gaussian" (white, the reference
+    protocol) or "ou" (in-kernel AR(1) stream, see ``_fused_rng_kernel``);
+    the DFT-based "colored" sampler cannot stream and must use the
+    host-noise path (the solver's dispatch enforces this)."""
     if model.KERNEL_KIND is None:
         raise NotImplementedError(
             "kernel-RNG (nothing-in-HBM) mode needs a model with an "
             "in-kernel form (Dynamics.KERNEL_KIND)")
+    if cfg.noise_sampler == "ou":
+        ou_a = 1.0 - float(cfg.noise_param)
+        if not (0.0 < ou_a < 1.0):
+            raise ValueError(
+                f"kernel-RNG OU needs theta in (0, 1): {cfg.noise_param}")
+    elif cfg.noise_sampler == "gaussian":
+        ou_a = 0.0
+    else:
+        raise NotImplementedError(
+            f"kernel-RNG mode supports gaussian/ou noise, not "
+            f"{cfg.noise_sampler!r} (DFT-shaped colored noise needs the "
+            f"whole horizon axis live — host-noise path only)")
     T = U.shape[0]
     K = cfg.num_rollouts if K_local is None else K_local
     rngs = jnp.reshape(model_params["control_rngs"], (-1, 2))[-2:]
@@ -1489,9 +1530,9 @@ def fused_rng_costs(model, model_params, cfg, cost_params, field, state, U,
         model.KERNEL_KIND, tuple(model.kernel_spec()), cost_mode,
         tuple(field_layer_dims), num_freqs, n_obs, T, K,
         H, W, Hp, RW, Wblk, CB,
-        model.negate_yaw_der, l1_cost, float(model.dt), interpret,
+        model.negate_yaw_der, l1_cost, float(model.dt), ou_a, interpret,
         sc, seed, U.astype(jnp.float32), *wb, precision=precision)
-    ctx = (T, K, interpret, sc, seed, U.astype(jnp.float32))
+    ctx = (T, K, ou_a, interpret, sc, seed, U.astype(jnp.float32))
     return costs[0], crash[0].astype(jnp.int32), ctx
 
 
@@ -1500,8 +1541,8 @@ def fused_rng_numer(ctx, w):
     stream and contract with softmax weights ``w (K_local,)``.  Returns
     the (C, T) weighted-control numerator (un-normalized — a sharded
     caller ``psum``\\ s it before dividing by the global eta)."""
-    T, K, interpret, sc, seed, U = ctx
-    return _fused_rng_pass2(T, K, interpret, sc, seed, U, w[None, :])
+    T, K, ou_a, interpret, sc, seed, U = ctx
+    return _fused_rng_pass2(T, K, ou_a, interpret, sc, seed, U, w[None, :])
 
 
 def fused_rng_solve_iteration(model, model_params, cfg, cost_params, field,

@@ -363,9 +363,13 @@ class MPPISolver:
         from autorally_tpu.costs.neural_costmap import NeuralCostmap
         from autorally_tpu.ops.rollout_kernel import exact_map_fits
 
+        # gaussian draws stream one step at a time; OU's AR(1) recursion
+        # streams too (one extra (2,K) carry in-kernel).  DFT-shaped
+        # colored noise needs the whole horizon axis live at once, so it
+        # stays on the host-noise path.
         if not (self.cfg.kernel_rng and self.use_pallas_rollout
                 and self.model.KERNEL_KIND is not None
-                and self.cfg.noise_sampler == "gaussian"
+                and self.cfg.noise_sampler in ("gaussian", "ou")
                 and self._fusable_cost()):
             return False
         if isinstance(costmap, NeuralCostmap):

@@ -163,3 +163,12 @@ def test_kernel_rng_dispatch_gates():
         assert not solver._use_kernel_rng(cm)
     finally:
         rk_mod.EXACT_VMEM_BUDGET = budget
+
+    # noise samplers: OU streams in-kernel (AR(1) carry, round 5);
+    # DFT-shaped colored noise cannot stream and must stay host-path
+    ou = MPPISolver(model, MPPICost(),
+                    cfg_r.replace(noise_sampler="ou", noise_param=0.15))
+    assert ou._use_kernel_rng(cm)
+    colored = MPPISolver(model, MPPICost(),
+                         cfg_r.replace(noise_sampler="colored"))
+    assert not colored._use_kernel_rng(cm)
