@@ -252,6 +252,14 @@ def main():
                        kernel_rng=True),
             n=8, batches=3), 2)
 
+        # capacity mode with the in-kernel OU stream (round 5): the
+        # AR(1) carry should cost ~1-2% over gaussian at this K
+        extra["rng_exact_ou_K262144_solves_per_sec"] = round(_bench_cfg(
+            MPPIConfig(num_rollouts=262144, num_timesteps=100,
+                       kernel_rng=True, noise_sampler="ou",
+                       noise_param=0.15),
+            n=8, batches=3), 2)
+
         # sharded over every available device (on a 1-device rig the
         # solver's inline fast path applies — shard_map is bypassed, so
         # this should track the headline; a real slice scales K and runs

@@ -77,6 +77,12 @@ def main():
                          "its own already-good plan, so a fraction of "
                          "the budget suffices — this is what lets a "
                          "65K-class tube hold 50 Hz on one chip")
+    ap.add_argument("--degeneracy-guard", action="store_true",
+                    dest="degeneracy_guard",
+                    help="brake flat-softmax plans when the measured car "
+                         "is off the track boundary at speed (opt-in: "
+                         "meant for deployment-scale configs — see "
+                         "ControlLoopConfig.degeneracy_guard)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -304,7 +310,8 @@ def main():
                                 num_timesteps=cfg.num_timesteps,
                                 optimization_stride=cfg.optimization_stride,
                                 depth=args.depth, realtime=False,
-                                max_iter=args.ticks)
+                                max_iter=args.ticks,
+                                degeneracy_guard=args.degeneracy_guard)
         timing = run_control_loop_async(tube, plant, alcfg,
                                         monitor=monitor,
                                         on_tick=on_tick_async,
@@ -313,7 +320,8 @@ def main():
         lcfg = ControlLoopConfig(hz=cfg.hz, num_timesteps=cfg.num_timesteps,
                                  optimization_stride=cfg.optimization_stride,
                                  use_feedback_gains=cfg.use_feedback_gains,
-                                 max_iter=args.ticks)
+                                 max_iter=args.ticks,
+                                 degeneracy_guard=args.degeneracy_guard)
         tick_cb = on_tick
         if tuner is not None:
             ess_cb = tuner.attach(actual, predicted)
