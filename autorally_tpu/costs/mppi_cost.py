@@ -63,6 +63,19 @@ class MPPICost:
         cost = jnp.abs(err) if self.l1_cost else err * err
         return p.speed_coeff * cost
 
+    @staticmethod
+    def footprint_track_cost(costmap: Costmap, x, y, yaw) -> jnp.ndarray:
+        """Max of the front/back channel-0 samples at one vehicle
+        footprint — the EXACT points the crash latch below tests
+        (``getTrackCost``, costs.cu:359-393).  Shared by the degeneracy
+        guard's position gate (runtime/controller.py, runtime/
+        async_loop.py) so the gate cannot drift from the latch."""
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        pts = costmap.lookup_ch0(
+            jnp.stack([x + FRONT_D * c, x + BACK_D * c]),
+            jnp.stack([y + FRONT_D * s, y + BACK_D * s]))
+        return jnp.max(pts)
+
     def track_cost_c(self, p: CostParams, costmap: Costmap, x, y, yaw,
                      crash) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """``getTrackCost`` (costs.cu:359-393): costmap channel 0 sampled at

@@ -1474,10 +1474,13 @@ def fused_rng_costs(model, model_params, cfg, cost_params, field, state, U,
             "kernel-RNG (nothing-in-HBM) mode needs a model with an "
             "in-kernel form (Dynamics.KERNEL_KIND)")
     if cfg.noise_sampler == "ou":
+        # a = 1-theta must be a stationary AR(1) coefficient; a == 0
+        # (theta == 1) degenerates to white draws, which the kernels
+        # handle natively via the ou_a == 0.0 static branch
         ou_a = 1.0 - float(cfg.noise_param)
-        if not (0.0 < ou_a < 1.0):
+        if not (-1.0 < ou_a < 1.0):
             raise ValueError(
-                f"kernel-RNG OU needs theta in (0, 1): {cfg.noise_param}")
+                f"kernel-RNG OU needs theta in (0, 2): {cfg.noise_param}")
     elif cfg.noise_sampler == "gaussian":
         ou_a = 0.0
     else:

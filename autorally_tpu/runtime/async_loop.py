@@ -87,14 +87,11 @@ class AsyncTubeController:
         # K_p=16,384 is ~16+4 ms of device work vs 2x16 ms symmetric
         # (GATE_r05 boundary row).  The solvers must share the model,
         # horizon, and control dims (asserted).
+        from autorally_tpu.solver.mppi import validate_tube_pair
+
+        validate_tube_pair(solver, solver_predicted)
         self.solver = solver
         self.solver_predicted = solver_predicted or solver
-        if self.solver_predicted is not solver:
-            assert self.solver_predicted.model is solver.model, \
-                "asymmetric tube: both solvers must share the model"
-            assert (self.solver_predicted.cfg.num_timesteps
-                    == solver.cfg.num_timesteps), \
-                "asymmetric tube: both solvers must share the horizon"
         self.model_params = model_params
         self.cost_params = cost_params
         self.costmap = costmap
@@ -135,17 +132,15 @@ class AsyncTubeController:
                     chosen_ctrl, rngs[:, 0], rngs[:, 1]).feedback_gain
             else:
                 gains = None
-            # vehicle-footprint track cost for the degeneracy guard's
-            # position gate (same front/back ch-0 samples as the crash
-            # latch, costs.cu:359-393)
-            from autorally_tpu.costs.mppi_cost import BACK_D, FRONT_D
+            # vehicle-footprint track cost (the crash latch's own
+            # sample points, via the shared helper).  Computed
+            # unconditionally: two point gathers against two full
+            # solves is noise, and the scalar doubles as off-track
+            # telemetry even when the (opt-in) guard is disabled.
+            from autorally_tpu.costs.mppi_cost import MPPICost
 
-            cy, sy = jnp.cos(state[2]), jnp.sin(state[2])
-            pos_cost = jnp.max(costmap.lookup_ch0(
-                jnp.stack([state[0] + FRONT_D * cy,
-                           state[0] + BACK_D * cy]),
-                jnp.stack([state[1] + FRONT_D * sy,
-                           state[1] + BACK_D * sy])))
+            pos_cost = MPPICost.footprint_track_cost(
+                costmap, state[0], state[1], state[2])
             out = TubeTickOutput(
                 control_solution=chosen_ctrl,
                 state_solution=chosen_states,

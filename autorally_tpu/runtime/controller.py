@@ -185,14 +185,11 @@ class Controller:
             state = self._last_solve_state
         if state is None:
             return None
-        from autorally_tpu.costs.mppi_cost import BACK_D, FRONT_D
+        from autorally_tpu.costs.mppi_cost import MPPICost
 
-        x, y, yaw = (float(state[0]), float(state[1]), float(state[2]))
-        c, s = np.cos(yaw), np.sin(yaw)
-        pts = self.costmap.lookup_ch0(
-            jnp.asarray([x + FRONT_D * c, x + BACK_D * c]),
-            jnp.asarray([y + FRONT_D * s, y + BACK_D * s]))
-        return float(jnp.max(pts))
+        return float(MPPICost.footprint_track_cost(
+            self.costmap, jnp.float32(state[0]), jnp.float32(state[1]),
+            jnp.float32(state[2])))
 
     # -- state injection (tube resync, run_control_loop.cuh:263-266) ---------
 

@@ -72,14 +72,11 @@ class EpisodeRunner:
         Must share the model and horizon.  The ESS-tuner target (if
         enabled) is sized from the ACTUAL solver's K; the winning
         solve's measured ESS drives the shared gamma either way."""
+        from autorally_tpu.solver.mppi import validate_tube_pair
+
+        validate_tube_pair(solver, solver_predicted)
         self.solver = solver
         self.solver_predicted = solver_predicted or solver
-        if self.solver_predicted is not solver:
-            assert self.solver_predicted.model is solver.model, \
-                "asymmetric tube: both solvers must share the model"
-            assert (self.solver_predicted.cfg.num_timesteps
-                    == solver.cfg.num_timesteps), \
-                "asymmetric tube: both solvers must share the horizon"
         self.true_model = true_model or solver.model
         self.n_ticks = int(n_ticks)
         self.use_feedback_gains = bool(use_feedback_gains)
@@ -91,6 +88,17 @@ class EpisodeRunner:
                 raise ValueError(
                     f"ess_target_frac in (0, 1]: {ess_target_frac}")
             self._ess_target = float(ess_target_frac) * solver.cfg.num_rollouts
+            if self._ess_target > self.solver_predicted.cfg.num_rollouts:
+                # an asymmetric tube whose predicted half cannot ever
+                # reach the target would drag the shared gamma toward
+                # the lower clamp on every predicted-won tick
+                raise ValueError(
+                    f"ess target {self._ess_target:.0f} (frac of the "
+                    f"actual solver's K={solver.cfg.num_rollouts}) "
+                    f"exceeds the predicted solver's "
+                    f"K={self.solver_predicted.cfg.num_rollouts} — "
+                    f"unreachable whenever the predicted controller "
+                    f"wins; lower the frac or raise K_pred")
             self._ess_alpha = float(ess_alpha)
             # the clamp band is centered on the EFFECTIVE starting gamma
             # (cfg.gamma or a CostParams.gamma override) inside _episode —

@@ -17,7 +17,6 @@ armed).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import subprocess
 import sys
@@ -359,12 +358,8 @@ def run_realtime_gate_async(pose_port: int = 47980,
     model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
     params = model.load_params(DEFAULT_MODEL)
     solver = MPPISolver(model, MPPICost(), cfg)
-    solver_pred = None
-    if (num_rollouts_predicted is not None
-            and num_rollouts_predicted != num_rollouts):
-        cfg_pred = dataclasses.replace(
-            cfg, num_rollouts=num_rollouts_predicted)
-        solver_pred = MPPISolver(model, MPPICost(), cfg_pred)
+    solver_pred = (solver.with_rollouts(num_rollouts_predicted)
+                   if num_rollouts_predicted is not None else None)
     cp = CostParams(desired_speed=4.0)
     tube = AsyncTubeController(solver, params, cp, cm,
                                use_feedback_gains=use_feedback_gains,

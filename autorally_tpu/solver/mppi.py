@@ -93,6 +93,24 @@ def _kernel_form_consistent(model) -> bool:
     return True
 
 
+def validate_tube_pair(solver, solver_predicted) -> None:
+    """The asymmetric-tube contract (shared by ``AsyncTubeController``
+    and ``EpisodeRunner``): the predicted-state solver may differ only
+    in rollout budget — model and horizon must match, or the
+    arbitration/resync pytree operations are meaningless.  Raises
+    ``ValueError`` (not assert: the contract must hold under -O)."""
+    if solver_predicted is None or solver_predicted is solver:
+        return
+    if solver_predicted.model is not solver.model:
+        raise ValueError(
+            "asymmetric tube: both solvers must share the model")
+    if solver_predicted.cfg.num_timesteps != solver.cfg.num_timesteps:
+        raise ValueError(
+            "asymmetric tube: both solvers must share the horizon "
+            f"(actual T={solver.cfg.num_timesteps}, predicted "
+            f"T={solver_predicted.cfg.num_timesteps})")
+
+
 class MPPISolver:
     """Builds the jitted solve/slide programs for a (model, cost, config)."""
 
@@ -167,6 +185,16 @@ class MPPISolver:
     def reset_controls(self, cs: ControllerState) -> ControllerState:
         """``resetControls`` (mppi_controller.cu:447-457)."""
         return cs._replace(U=jnp.tile(self.init_u, (self.cfg.num_timesteps, 1)))
+
+    def with_rollouts(self, num_rollouts: int) -> "MPPISolver":
+        """A sibling solver sharing this model and cost with a different
+        rollout budget — the asymmetric-tube construction helper
+        (``AsyncTubeController``/``EpisodeRunner`` ``solver_predicted``).
+        Returns ``self`` when the budget already matches."""
+        if num_rollouts == self.cfg.num_rollouts:
+            return self
+        return MPPISolver(self.model, self.cost,
+                          self.cfg.replace(num_rollouts=num_rollouts))
 
     # ------------------------------------------------------------------
     # one optimization iteration given explicit noise (the testable core)
@@ -364,12 +392,17 @@ class MPPISolver:
         from autorally_tpu.ops.rollout_kernel import exact_map_fits
 
         # gaussian draws stream one step at a time; OU's AR(1) recursion
-        # streams too (one extra (2,K) carry in-kernel).  DFT-shaped
-        # colored noise needs the whole horizon axis live at once, so it
-        # stays on the host-noise path.
+        # streams too (one extra (2,K) carry in-kernel) for theta in
+        # (0, 2), i.e. AR coefficient a = 1-theta in (-1, 1) — outside
+        # that the recursion is non-stationary and the host path keeps
+        # its (undefined) behavior.  DFT-shaped colored noise needs the
+        # whole horizon axis live at once, so it stays host-path.
+        sampler_ok = (self.cfg.noise_sampler == "gaussian"
+                      or (self.cfg.noise_sampler == "ou"
+                          and 0.0 < self.cfg.noise_param < 2.0))
         if not (self.cfg.kernel_rng and self.use_pallas_rollout
                 and self.model.KERNEL_KIND is not None
-                and self.cfg.noise_sampler in ("gaussian", "ou")
+                and sampler_ok
                 and self._fusable_cost()):
             return False
         if isinstance(costmap, NeuralCostmap):

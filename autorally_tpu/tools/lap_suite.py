@@ -62,10 +62,8 @@ def run_config(row: dict, ticks: int, seeds: int) -> list:
                        key: [W * scale for W in params[key]]
                        if key == "weights" else params[key] * scale}
     solver = MPPISolver(model, MPPICost(), cfg)
-    solver_pred = None
-    if row.get("K_pred"):
-        solver_pred = MPPISolver(model, MPPICost(),
-                                 cfg.replace(num_rollouts=row["K_pred"]))
+    solver_pred = (solver.with_rollouts(row["K_pred"])
+                   if row.get("K_pred") else None)
     runner = EpisodeRunner(solver, true_model=true_model, n_ticks=ticks,
                            use_feedback_gains=bool(row.get("feedback")),
                            solver_predicted=solver_pred)

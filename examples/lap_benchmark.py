@@ -117,11 +117,8 @@ def main():
         true_model = NeuralNetDynamics(cfg.dt / args.pose_substeps,
                                        control_ranges=cfg.control_ranges)
     solver = MPPISolver(model, MPPICost(), cfg)
-    solver_pred = None
-    if (args.pred_rollouts is not None
-            and args.pred_rollouts != cfg.num_rollouts):
-        solver_pred = MPPISolver(model, MPPICost(),
-                                 cfg.replace(num_rollouts=args.pred_rollouts))
+    solver_pred = (solver.with_rollouts(args.pred_rollouts)
+                   if args.pred_rollouts is not None else None)
     runner = EpisodeRunner(solver, true_model=true_model,
                            n_ticks=args.ticks,
                            use_feedback_gains=args.feedback,

@@ -135,10 +135,8 @@ def main():
         params_m = model.load_params(args.model or MODEL_NPZ)
 
     solver = MPPISolver(model, MPPICost(cfg.l1_cost), cfg)
-    solver_pred = solver
-    if args.pred_rollouts is not None and args.pred_rollouts != cfg.num_rollouts:
-        solver_pred = MPPISolver(model, MPPICost(cfg.l1_cost),
-                                 cfg.replace(num_rollouts=args.pred_rollouts))
+    solver_pred = (solver.with_rollouts(args.pred_rollouts)
+                   if args.pred_rollouts is not None else solver)
     ddp = DDPSolver(model, cfg.dt, cfg.num_timesteps)
     actual = Controller(solver, params_m, cost_params, cm, ddp=ddp)
     predicted = Controller(solver_pred, params_m, cost_params, cm, ddp=ddp,

@@ -116,7 +116,7 @@ def test_asymmetric_tube_rejects_mismatched_horizon():
     solver = MPPISolver(model, MPPICost(), cfg)
     bad = MPPISolver(model, MPPICost(),
                      cfg.replace(num_rollouts=32, num_timesteps=8))
-    with pytest.raises(AssertionError, match="horizon"):
+    with pytest.raises(ValueError, match="horizon"):
         AsyncTubeController(solver, params, CostParams(), cm,
                             solver_predicted=bad)
 

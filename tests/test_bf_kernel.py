@@ -164,11 +164,21 @@ def test_kernel_rng_dispatch_gates():
     finally:
         rk_mod.EXACT_VMEM_BUDGET = budget
 
-    # noise samplers: OU streams in-kernel (AR(1) carry, round 5);
-    # DFT-shaped colored noise cannot stream and must stay host-path
+    # noise samplers: OU streams in-kernel (AR(1) carry, round 5) for
+    # theta in (0, 2) — incl. theta=1, which degenerates to white —
+    # while out-of-domain thetas and the DFT-shaped colored sampler
+    # (cannot stream) stay on the host-noise path
     ou = MPPISolver(model, MPPICost(),
                     cfg_r.replace(noise_sampler="ou", noise_param=0.15))
     assert ou._use_kernel_rng(cm)
+    ou_white = MPPISolver(model, MPPICost(),
+                          cfg_r.replace(noise_sampler="ou",
+                                        noise_param=1.0))
+    assert ou_white._use_kernel_rng(cm)
+    ou_bad = MPPISolver(model, MPPICost(),
+                        cfg_r.replace(noise_sampler="ou",
+                                      noise_param=2.5))
+    assert not ou_bad._use_kernel_rng(cm)
     colored = MPPISolver(model, MPPICost(),
                          cfg_r.replace(noise_sampler="colored"))
     assert not colored._use_kernel_rng(cm)

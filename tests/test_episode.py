@@ -72,6 +72,12 @@ def test_episode_asymmetric_tube_drives():
     # arbitration live across the asymmetric pair
     assert used.any() and not used.all()
 
+    # an ESS target the smaller predicted solver can never reach would
+    # ratchet the shared gamma to the clamp — rejected at construction
+    with pytest.raises(ValueError, match="unreachable"):
+        EpisodeRunner(solver, n_ticks=10, solver_predicted=solver_pred,
+                      ess_target_frac=0.5)
+
 
 def test_episode_model_mismatch():
     """Controller plans with the reference model but the plant runs a
