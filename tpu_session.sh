@@ -85,6 +85,17 @@ res = run_realtime_gate_async(pose_port=48070, control_port=48071,
                               adaptive_depth=True, warmup_iters=20,
                               noise_sampler='colored', noise_param=1.0)
 gates.append({'name': 'tube_k65536_asym16384_colored', 'result': res})
+# sustained soak of the same asymmetric config: 2x15 s windows (the
+# short gates can ride pipeline slack; a 750-tick window cannot)
+res = run_realtime_gate_async(pose_port=48080, control_port=48081,
+                              seconds=15.0, attempts=2,
+                              num_rollouts=65536,
+                              num_rollouts_predicted=16384,
+                              num_timesteps=100, depth=4,
+                              adaptive_depth=True, warmup_iters=20,
+                              noise_sampler='colored', noise_param=1.0)
+gates.append({'name': 'tube_k65536_asym16384_colored_soak',
+              'result': res})
 print(json.dumps({'artifact': 'gate', 'round': int('$ROUND'),
                   'gates': gates}))
 " 2>"$OUT/gate.err" | tee "$OUT/gate.json" | tail -1 || true
