@@ -319,16 +319,20 @@ def run_control_loop_async(tube: AsyncTubeController, plant: BasePlant,
         gains = out.feedback_gains if tube.use_feedback_gains else None
         ctrl_seq = out.control_solution
         crash = float(out.crash_frac)
-        # crash short-circuits first: K is only needed past the
-        # threshold (duck-typed tubes without a .solver stay supported);
-        # the ESS came from the WINNING controller, so an asymmetric
-        # tube must test it against that controller's own K
+        # crash short-circuits first, and a duck-typed tube without a
+        # .solver skips the guard entirely (the ESS-vs-survivors bound
+        # needs the winning controller's K, and braking on unknown K
+        # would be guesswork); the ESS came from the WINNING
+        # controller, so an asymmetric tube tests against that
+        # controller's own K
+        solver_a = getattr(tube, "solver", None)
+        solver_w = (solver_a if bool(out.use_actual)
+                    else getattr(tube, "solver_predicted", None) or solver_a)
         if (cfg.degeneracy_guard and crash > cfg.degenerate_crash_thresh
+                and solver_w is not None
                 and stats_degenerate(
                     float(out.ess), crash,
-                    (tube.solver if bool(out.use_actual)
-                     else getattr(tube, "solver_predicted", tube.solver)
-                     ).cfg.num_rollouts,
+                    solver_w.cfg.num_rollouts,
                     cfg.degenerate_crash_thresh,
                     cfg.degenerate_ess_mult,
                     position_track_cost=(

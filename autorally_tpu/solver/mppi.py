@@ -33,6 +33,7 @@ against an independent NumPy port):
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -95,20 +96,37 @@ def _kernel_form_consistent(model) -> bool:
 
 def validate_tube_pair(solver, solver_predicted) -> None:
     """The asymmetric-tube contract (shared by ``AsyncTubeController``
-    and ``EpisodeRunner``): the predicted-state solver may differ only
-    in rollout budget — model and horizon must match, or the
-    arbitration/resync pytree operations are meaningless.  Raises
-    ``ValueError`` (not assert: the contract must hold under -O)."""
+    and ``EpisodeRunner``): the predicted-state solver may differ ONLY
+    in rollout budget.  Any other config divergence — gamma,
+    exploration std, iteration count, stride, horizon — makes the
+    trajectory-cost arbitration apples-to-oranges (both tube halves
+    must solve the same problem at the same temperature), so the whole
+    config modulo ``num_rollouts`` is compared, not just the horizon.
+    Raises ``ValueError`` (not assert: the contract must hold under
+    -O)."""
     if solver_predicted is None or solver_predicted is solver:
         return
     if solver_predicted.model is not solver.model:
         raise ValueError(
             "asymmetric tube: both solvers must share the model")
+    if type(solver_predicted.cost) is not type(solver.cost):
+        raise ValueError(
+            "asymmetric tube: both solvers must share the cost type "
+            f"({type(solver.cost).__name__} vs "
+            f"{type(solver_predicted.cost).__name__})")
     if solver_predicted.cfg.num_timesteps != solver.cfg.num_timesteps:
         raise ValueError(
             "asymmetric tube: both solvers must share the horizon "
             f"(actual T={solver.cfg.num_timesteps}, predicted "
             f"T={solver_predicted.cfg.num_timesteps})")
+    aligned = solver_predicted.cfg.replace(
+        num_rollouts=solver.cfg.num_rollouts)
+    if aligned != solver.cfg:
+        diffs = [f.name for f in dataclasses.fields(solver.cfg)
+                 if getattr(aligned, f.name) != getattr(solver.cfg, f.name)]
+        raise ValueError(
+            "asymmetric tube: solvers may differ only in num_rollouts; "
+            f"these configs also differ in {diffs}")
 
 
 class MPPISolver:
@@ -190,9 +208,19 @@ class MPPISolver:
         """A sibling solver sharing this model and cost with a different
         rollout budget — the asymmetric-tube construction helper
         (``AsyncTubeController``/``EpisodeRunner`` ``solver_predicted``).
-        Returns ``self`` when the budget already matches."""
+        Returns ``self`` when the budget already matches.
+
+        Refuses subclass solvers rather than silently downgrading them
+        to a plain ``MPPISolver`` (a ``ShardedMPPISolver`` would lose
+        its shard_map decomposition, an ``EnsembleMPPISolver`` its
+        per-member kernels); those construct their sibling explicitly."""
         if num_rollouts == self.cfg.num_rollouts:
             return self
+        if type(self) is not MPPISolver:
+            raise NotImplementedError(
+                f"with_rollouts would downgrade {type(self).__name__} to "
+                f"a plain MPPISolver — construct the resized "
+                f"{type(self).__name__} explicitly")
         return MPPISolver(self.model, self.cost,
                           self.cfg.replace(num_rollouts=num_rollouts))
 

@@ -119,8 +119,12 @@ def main(argv=None):
                                    control_ranges=cfg.control_ranges)
     params_true = steer_gain_params(params, args.true_gain, args.column)
 
-    gains = list(np.linspace(args.gain_lo, args.gain_hi, args.members))
-    gains[0] = 1.0                           # member 0 = canonical model
+    # member 0 = the canonical model; the REMAINING members span the
+    # full gain_lo..gain_hi range (a review found the earlier
+    # gains[0]=1.0 overwrite silently deleted the gain_lo hypothesis —
+    # the one closest to the injected error in the shipped A/B)
+    gains = [1.0] + list(np.linspace(args.gain_lo, args.gain_hi,
+                                     args.members - 1))
     stacked = stack_params([steer_gain_params(params, g, args.column)
                             for g in gains])
 

@@ -106,7 +106,7 @@ def test_asymmetric_tube_drives_and_resyncs():
         (cfg.num_timesteps, 2)
 
 
-def test_asymmetric_tube_rejects_mismatched_horizon():
+def test_asymmetric_tube_rejects_mismatched_configs():
     cfg = MPPIConfig(num_rollouts=64, num_timesteps=16, hz=50)
     model = NeuralNetDynamics(cfg.dt, control_ranges=cfg.control_ranges)
     params = model.load_params(NN_NPZ)
@@ -119,6 +119,45 @@ def test_asymmetric_tube_rejects_mismatched_horizon():
     with pytest.raises(ValueError, match="horizon"):
         AsyncTubeController(solver, params, CostParams(), cm,
                             solver_predicted=bad)
+    # ANY config divergence beyond num_rollouts breaks the arbitration
+    # (both halves must solve the same problem at the same temperature)
+    hot = MPPISolver(model, MPPICost(),
+                     cfg.replace(num_rollouts=32, gamma=0.5))
+    with pytest.raises(ValueError, match="gamma"):
+        AsyncTubeController(solver, params, CostParams(), cm,
+                            solver_predicted=hot)
+    # with_rollouts must not silently downgrade subclass solvers
+    from autorally_tpu.solver import EnsembleMPPISolver
+
+    ens = EnsembleMPPISolver(model, MPPICost(), cfg, num_members=4)
+    with pytest.raises(NotImplementedError, match="downgrade"):
+        ens.with_rollouts(32)
+
+
+def test_async_guard_skips_duck_tube_without_solver():
+    """A duck-typed tube with no .solver must not crash the loop when
+    the guard is enabled and telemetry looks degenerate — the
+    ESS-vs-survivors bound needs the winning controller's K, so the
+    guard skips instead (review finding: it used to AttributeError
+    mid-drive, exactly when telemetry was worst)."""
+    class _DuckTube(_FakeTube):                # no .solver at all
+        def dispatch(self, state, stride):
+            out = super().dispatch(state, stride)
+            return out._replace(
+                control_solution=np.full((self.T, 2), 0.5, np.float32),
+                ess=np.float32(60.0), crash_frac=np.float32(1.0))
+
+    tube = _DuckTube(16, latency_s=0.0005)
+    plant = BasePlant(dt=0.01, num_timesteps=16, use_feedback_gains=False)
+    moving = np.zeros(7, np.float32)
+    moving[4] = 5.0
+    plant.receive_state_vector(0.0, moving)
+    lcfg = AsyncLoopConfig(hz=100, num_timesteps=16, depth=1,
+                           realtime=True, max_iter=15,
+                           degeneracy_guard=True)
+    timing = run_control_loop_async(tube, plant, lcfg)
+    assert timing.degenerate_ticks == 0        # skipped, not crashed
+    assert plant.solution_received
 
 
 def test_publication_lags_by_depth():
